@@ -1,0 +1,86 @@
+"""Configuration for the TPU wavefront runtime.
+
+Reinterprets every knob of the reference ``racc::Configuration``
+(reference RayAccelerator.h:32-42) for the TPU execution model, where the
+CPU-thread/GPU-queue scheduler is replaced by a compiled wavefront loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Configuration:
+    """Runtime configuration.
+
+    Mapping from the reference configuration (RayAccelerator.h:32-42,
+    defaults at RayAccelerator.cpp:429-446):
+
+    - ``gpuContext``            -> ``backend``: which traversal engine runs the
+      ray/scene intersection stage. ``"xla"`` is the lockstep while-loop
+      traversal compiled by XLA (role of the Embree CPU path,
+      Scene.cpp:374-484); ``"pallas"`` selects the hand-written Pallas kernel
+      path (role of the OpenCL kernel, Kernels.h:141-242). Both produce
+      identical hits and serve as each other's oracle, like the reference's
+      ``--no-gpu`` / ``--no-cpu-tracing`` flag pair (main.cpp:289-302).
+    - ``allowCpuTracing``       -> ``allow_xla_tracing``: permit the XLA
+      fallback when the Pallas backend is selected (hybrid mode analog).
+    - ``cpuThreads``/``gpuSubmissionThreads`` -> gone: XLA owns scheduling;
+      the mesh axis in :mod:`rayaccel_tpu.parallel` is the concurrency knob.
+    - ``maxRaysInFlight`` (128*128*16)        -> ``max_rays_in_flight``: the
+      persistent ray-pool size per chip; one wavefront wave traces at most
+      this many rays.
+    - ``maxRaysPerSpawn`` (128*128)           -> ``max_rays_per_spawn``: spawn
+      granularity; one tile of primary rays.
+    - ``cpuTestBatch``/``cpuShadeBatch``      -> ``trace_block``/``shade_block``:
+      block sizes used by the Pallas kernels' grids.
+    - ``rayStreamBatchSize`` (11264, sized so the iGPU stays occupied,
+      RayAccelerator.cpp:440) -> ``wave_size``: rays per traced wave; sized to
+      keep the VPU's 8x128 lanes and the HBM pipeline occupied.
+    """
+
+    backend: str = "xla"                    # "xla" | "pallas"
+    allow_xla_tracing: bool = True
+    max_rays_in_flight: int = 128 * 128 * 16
+    max_rays_per_spawn: int = 128 * 128
+    trace_block: int = 1024
+    shade_block: int = 8192
+    wave_size: int = 128 * 128
+    # BVH traversal stack depth per ray (reference GPU kernel uses 64,
+    # Kernels.h:166). Kept configurable because it scales wavefront state.
+    traversal_stack_depth: int = 48
+    # Maximum path depth for the Whitted ray-tree spill stack, analog of
+    # maxShadingDepth=8 pre-sizing loopData 8*maxRaysInFlight
+    # (WhittedRenderer.cpp:47-50).
+    max_shading_depth: int = 8
+    # Optional (devices, ) mesh shape for multi-chip tile parallelism.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+
+    def __post_init__(self):
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.backend == "pallas" and not self.allow_xla_tracing:
+            # Mirrors the reference's conflicting-flags check (main.cpp:304).
+            pass  # pallas-only is valid; the invalid combo is neither.
+        if self.max_rays_in_flight <= 0 or self.wave_size <= 0:
+            raise ValueError("ray counts must be positive")
+        if self.wave_size % 8 != 0:
+            raise ValueError("wave_size must be a multiple of 8")
+
+
+@dataclasses.dataclass(frozen=True)
+class ContextInfo:
+    """Introspection data, analog of racc::ContextInfo (RayAccelerator.h:44-49)."""
+
+    device_count: int
+    wave_size: int
+    max_rays_in_flight: int
+    backend: str
+
+
+def default_configuration(backend: str = "xla") -> Configuration:
+    """Tuned defaults, analog of racc::defaultConfiguration
+    (reference RayAccelerator.cpp:429-446)."""
+    return Configuration(backend=backend)

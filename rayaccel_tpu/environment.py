@@ -1,0 +1,85 @@
+"""Angular environment probe (Debevec light probe).
+
+Behavioral port of the reference environment map: the direction->(u,v)
+angular mapping and bilinear clamp-to-edge filtering of the CPU sampler
+(reference Environment.h:27-82) and the GPU miss-path sampler
+(Kernels.h:213-222), re-expressed as a batched gather-based bilinear
+lookup in JAX.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Environment(NamedTuple):
+    """Probe image as a device array (analog of racc::Environment,
+    Environment.h:16-23; pixels stored inline after the struct,
+    Environment.cpp:15,33)."""
+
+    pixels: jnp.ndarray  # (H, W, 3) float32
+    width: int
+    height: int
+
+
+def create_environment(colors, width: int, height: int) -> Environment:
+    """Analog of racc::createEnvironment (reference Environment.cpp:13-62).
+
+    ``colors`` is ``(H*W, 4)`` or ``(H, W, 3/4)``; alpha is dropped.
+    """
+    arr = np.asarray(colors, np.float32)
+    if arr.ndim == 2:
+        arr = arr.reshape(height, width, -1)
+    arr = arr[..., :3]
+    return Environment(pixels=jnp.asarray(arr), width=int(width), height=int(height))
+
+
+def sample_environment(env: Environment, d: jnp.ndarray) -> jnp.ndarray:
+    """Sample the probe for a batch of directions ``d`` of shape (R, 3).
+
+    Mirrors the angular mapping of Environment.h:33-48 / Kernels.h:215-219:
+
+        r = acos(-d.x) / (2*pi) * rsqrt(d.y^2 + d.z^2)   (0 if not finite)
+        u = 0.5 - r * d.z ;  v = 0.5 - r * d.y
+
+    then bilinear with clamp-to-edge at pixel centers (uv*dim - 0.5).
+    """
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    len2 = dy * dy + dz * dz
+    rlen = jnp.where(len2 > 0, 1.0 / jnp.sqrt(len2), jnp.inf)
+    r = jnp.arccos(jnp.clip(-dx, -1.0, 1.0)) * (1.0 / (2.0 * np.pi)) * rlen
+    # Guard: GPU kernel zeroes r when rlen > 1e6 (Kernels.h:217); CPU zeroes
+    # non-finite r (Environment.h:42-43).
+    r = jnp.where(jnp.isfinite(r) & (rlen <= 1e6), r, 0.0)
+
+    u = 0.5 - r * dz
+    v = 0.5 - r * dy
+
+    w, h = env.width, env.height
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    flat = env.pixels.reshape(-1, 3)
+    p00 = jnp.take(flat, y0i * w + x0i, axis=0)
+    p10 = jnp.take(flat, y0i * w + x1i, axis=0)
+    p01 = jnp.take(flat, y1i * w + x0i, axis=0)
+    p11 = jnp.take(flat, y1i * w + x1i, axis=0)
+
+    tx = tx[:, None]
+    ty = ty[:, None]
+    top = p00 * (1 - tx) + p10 * tx
+    bot = p01 * (1 - tx) + p11 * tx
+    return top * (1 - ty) + bot * ty

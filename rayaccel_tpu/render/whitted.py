@@ -1,0 +1,242 @@
+"""Wavefront Whitted renderer: ray *trees* on a streaming engine.
+
+Re-design of the reference WhittedRenderer (reference
+WhittedRenderer.cpp:38-697). The reference bounds ray-tree fan-out with a
+global mutex-protected LoopData pool: when a hit spawns both a reflection
+and a refraction ray, the reflection continues in the output stream and
+the refraction is *parked*, linked onto the continuation's head chain
+(WhittedRenderer.cpp:119-133); when a path terminates, one parked ray per
+terminated head is resurrected (WhittedRenderer.cpp:91-115).
+
+On TPU each wavefront lane owns exactly one pixel's whole ray tree, so
+the linked-list pool collapses into a *lane-local stack*: parking pushes
+the refraction ray, termination pops it — a classic depth-first binary
+tree traversal, no mutex, no links. The pool-size bound (maxShadingDepth=8
+entries per in-flight ray, WhittedRenderer.cpp:47-50) becomes the stack
+depth; the frame-end pool-drained assert (WhittedRenderer.cpp:62) becomes
+"every lane finished with an empty stack", which holds by construction,
+plus an overflow counter the tests require to be zero.
+
+Shading is the reference's inline headlight model
+(WhittedRenderer.cpp:343-372): gray 0.3 albedo, directional light
+(0.57, 0.57, 0.57), fixed eta 1.1 glass for refraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.context import Context
+from rayaccel_tpu.environment import Environment, create_environment
+from rayaccel_tpu.ops.trace import trace_bvh
+from rayaccel_tpu.render.shading import (ORIGIN_EPSILON, SECONDARY_TMAX,
+                                         SECONDARY_TMIN, WEIGHT_CUTOFF,
+                                         interpolate_surface, merge_rays)
+from rayaccel_tpu.render.tiled import TiledRenderer
+from rayaccel_tpu.scene.compile import TpuScene, compile_scene
+from rayaccel_tpu.scene.data import SceneData
+from rayaccel_tpu.types import INVALID_TRIANGLE, Rays
+
+MATERIAL_GRAY = 0.3                      # WhittedRenderer.cpp:343-345
+LIGHT_DIR = (0.57, 0.57, 0.57)           # WhittedRenderer.cpp:357-359
+ETA_GLASS = 1.1                          # WhittedRenderer.cpp:429-430
+
+
+def whitted_shade(scene: TpuScene, rays: Rays, hits, weight, active):
+    """Compute direct radiance + both child rays for active hits.
+
+    Vectorized analog of WhittedRenderer::shade's 8-wide block
+    (WhittedRenderer.cpp:203-581). Returns
+    (radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok).
+    """
+    surf = interpolate_surface(scene, rays, hits, active)
+    d = rays.d
+    ns = surf.ns  # already flipped toward the incoming ray
+
+    light = jnp.asarray(LIGHT_DIR, jnp.float32)
+    ndotl = jnp.maximum(jnp.sum(ns * light[None, :], axis=-1), 0.0)
+    new_weight = weight * MATERIAL_GRAY
+    radiance = new_weight * ndotl[:, None]
+
+    cont = jnp.any(new_weight > WEIGHT_CUTOFF, axis=-1)  # :407-411
+
+    d_dot_n = jnp.sum(d * ns, axis=-1)
+
+    # Reflection (:420-424).
+    refl_d = d - (2.0 * d_dot_n)[:, None] * ns
+
+    # Refraction (:428-442); eta by travel side (outward-normal convention:
+    # entering uses 1/1.1).
+    eta = jnp.where(surf.entering, 1.0 / ETA_GLASS, ETA_GLASS)
+    r = 1.0 - eta * eta * (1.0 - d_dot_n * d_dot_n)
+    mu = eta * d_dot_n + jnp.sqrt(jnp.maximum(r, 0.0))
+    refr_d = eta[:, None] * d - mu[:, None] * ns
+
+    d_side = surf.d_dot_ng > 0
+
+    def finish(dir_new, extra_ok):
+        dot = jnp.sum(dir_new * surf.ng, axis=-1)
+        pos = surf.pos + surf.ng * (
+            ORIGIN_EPSILON * jnp.where(dot >= 0, 1.0, -1.0))[:, None]
+        finite = (jnp.all(jnp.isfinite(pos), axis=-1)
+                  & jnp.all(jnp.isfinite(dir_new), axis=-1))
+        n = dir_new.shape[0]
+        out = Rays(pos, dir_new,
+                   jnp.full((n,), SECONDARY_TMIN, jnp.float32),
+                   jnp.full((n,), SECONDARY_TMAX, jnp.float32))
+        return out, cont & extra_ok & finite, dot > 0
+
+    refl_rays, refl_base, refl_side = finish(refl_d, jnp.ones_like(cont))
+    refr_rays, refr_base, refr_side = finish(refr_d, r > 0.0)
+    # Side consistency (:445-449): reflection leaves on the opposite side
+    # of Ng, refraction on the same side.
+    refl_ok = refl_base & (refl_side != d_side)
+    refr_ok = refr_base & (refr_side == d_side)
+    return radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok
+
+
+@partial(jax.jit, static_argnames=("max_depth", "stack_size", "stack_depth"))
+def whitted_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
+                       fb: jnp.ndarray, pixel: jnp.ndarray, x: jnp.ndarray,
+                       y: jnp.ndarray, alive0: jnp.ndarray, key: jax.Array,
+                       max_depth: int, stack_size: int = 9,
+                       stack_depth: int = 48):
+    """Trace one wave of pixels through their full Whitted ray trees.
+
+    Returns (fb, rays_traced, dropped) where ``dropped`` counts refraction
+    rays lost to parked-stack overflow (must be 0 when
+    stack_size > max_depth; the analog of the reference's pool-drained
+    invariant, WhittedRenderer.cpp:62).
+    """
+    R = pixel.shape[0]
+    rays = generate_pixel_rays(cam_arrays, x, y, key=key)
+    rows = jnp.arange(R)
+
+    state = dict(
+        rays=rays,
+        weight=jnp.ones((R, 3), jnp.float32),
+        depth=jnp.zeros((R,), jnp.int32),
+        alive=alive0,
+        sp=jnp.zeros((R,), jnp.int32),
+        stk_o=jnp.zeros((R, stack_size, 3), jnp.float32),
+        stk_d=jnp.zeros((R, stack_size, 3), jnp.float32),
+        stk_w=jnp.zeros((R, stack_size, 3), jnp.float32),
+        stk_depth=jnp.zeros((R, stack_size), jnp.int32),
+        fb=fb,
+        traced=jnp.int32(0),
+        dropped=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        rays, alive, weight = s["rays"], s["alive"], s["weight"]
+        hits = trace_bvh(scene, rays, env, stack_depth=stack_depth,
+                         active=alive)
+        traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
+
+        fb = s["fb"]
+        # Miss => environment (WhittedRenderer.cpp:586-680).
+        miss = alive & (hits.tri == INVALID_TRIANGLE)
+        fb = fb.at[pixel].add(jnp.where(miss[:, None],
+                                        weight * hits.miss_rgb, 0.0))
+
+        # Active hits: direct light + children (hits at depth == max_depth
+        # terminate without contribution, WhittedRenderer.cpp:171-187).
+        active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
+        radiance, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
+            scene, rays, hits, weight, active)
+        refl_ok = refl_ok & active
+        refr_ok = refr_ok & active
+        fb = fb.at[pixel].add(jnp.where(active[:, None], radiance, 0.0))
+
+        # Continuation selection (WhittedRenderer.cpp:535-565): reflection
+        # continues; lone refraction continues; both => park refraction.
+        next_rays = merge_rays(refl_ok, refl, refr)
+        has_next = refl_ok | refr_ok
+        park = refl_ok & refr_ok
+
+        sp = s["sp"]
+        can_park = park & (sp < stack_size)
+        dropped = s["dropped"] + jnp.sum((park & ~can_park).astype(jnp.int32))
+        slot = jnp.where(can_park, sp, 0)
+        pk = can_park[:, None]
+        stk_o = s["stk_o"].at[rows, slot].set(
+            jnp.where(pk, refr.o, s["stk_o"][rows, slot]))
+        stk_d = s["stk_d"].at[rows, slot].set(
+            jnp.where(pk, refr.d, s["stk_d"][rows, slot]))
+        stk_w = s["stk_w"].at[rows, slot].set(
+            jnp.where(pk, new_w, s["stk_w"][rows, slot]))
+        stk_depth = s["stk_depth"].at[rows, slot].set(
+            jnp.where(can_park, s["depth"] + 1, s["stk_depth"][rows, slot]))
+        sp = sp + can_park.astype(jnp.int32)
+
+        # Termination => resurrect a parked ray (loopHandling,
+        # WhittedRenderer.cpp:91-115), else the lane dies.
+        terminated = alive & ~has_next
+        pop = terminated & (sp > 0)
+        sp = sp - pop.astype(jnp.int32)
+        pslot = jnp.where(pop, sp, 0)
+        popped = Rays(
+            o=stk_o[rows, pslot], d=stk_d[rows, pslot],
+            tmin=jnp.full((R,), SECONDARY_TMIN, jnp.float32),
+            tmax=jnp.full((R,), SECONDARY_TMAX, jnp.float32))
+
+        alive_next = (active & has_next) | pop
+        out_rays = merge_rays(pop, popped, merge_rays(has_next, next_rays, rays))
+        out_w = jnp.where(pop[:, None], stk_w[rows, pslot],
+                          jnp.where(active[:, None], new_w, weight))
+        out_depth = jnp.where(pop, stk_depth[rows, pslot],
+                              s["depth"] + active.astype(jnp.int32))
+
+        return dict(rays=out_rays, weight=out_w, depth=out_depth,
+                    alive=alive_next, sp=sp, stk_o=stk_o, stk_d=stk_d,
+                    stk_w=stk_w, stk_depth=stk_depth, fb=fb, traced=traced,
+                    dropped=dropped)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["fb"], out["traced"], out["dropped"]
+
+
+class WhittedRenderer(TiledRenderer):
+    """Whitted ray tracer producing bounded ray trees per pixel."""
+
+    def __init__(self, context: Context, camera: Camera, scene_data: SceneData,
+                 tpu_scene: TpuScene | None = None,
+                 environment: Environment | None = None):
+        super().__init__(context, scene_data.viewport_width,
+                         scene_data.viewport_height)
+        self.camera = camera
+        self.scene_data = scene_data
+        self.scene = tpu_scene if tpu_scene is not None else compile_scene(scene_data)
+        if environment is None:
+            env_px = scene_data.env_pixels
+            assert env_px is not None, "scene has no environment probe"
+            environment = create_environment(env_px, env_px.shape[1], env_px.shape[0])
+        self.environment = environment
+        # main.cpp:346 forces maxDepth=8 for the Whitted demo.
+        self.max_depth = int(scene_data.max_depth)
+        self.dropped = 0
+
+    def _build_wave_fn(self):
+        cam_arrays = self.camera.as_arrays()
+        scene, env = self.scene, self.environment
+        max_depth = self.max_depth
+        stack_size = max(self.context.configuration.max_shading_depth,
+                         max_depth + 1)
+        stack_depth = self.context.configuration.traversal_stack_depth
+
+        def wave_fn(fb, base, key):
+            pixel, x, y, alive = self._wave_pixels(base)
+            fb, traced, dropped = whitted_trace_wave(
+                scene, env, cam_arrays, fb, pixel, x, y, alive, key,
+                max_depth, stack_size, stack_depth)
+            self.dropped += int(dropped)
+            return fb, traced
+
+        return wave_fn
