@@ -49,6 +49,21 @@ def aabb_hit(bbmin, bbmax, inv_d, ood, tmin, tmax):
     return t0 <= t1, t0
 
 
+def aabb_hit_soa(bmin, bmax, inv_d, ood, tmin, tmax):
+    """Component-wise slab test: every argument is a tuple of three (R,)
+    arrays (or (R,) scalars for tmin/tmax). TPU-native layout: flat lane
+    vectors keep the VPU's 8x128 lanes fully packed, where (R, 3) arrays
+    would waste the 128-wide minor dimension."""
+    t0 = tmin
+    t1 = tmax
+    for a in range(3):
+        tn = bmin[a] * inv_d[a] + ood[a]
+        tf = bmax[a] * inv_d[a] + ood[a]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    return t0 <= t1, t0
+
+
 class PairHit(NamedTuple):
     valid: jnp.ndarray  # (...,) bool — hit either triangle of the pair
     which: jnp.ndarray  # (...,) int32 — 0/1: which pair triangle
@@ -63,17 +78,26 @@ def triangle_pair_intersect(pair_row: jnp.ndarray,
     """Intersect rays with triangle pairs (row layout [e1,e2,e3,p0,...]).
 
     All inputs broadcast over the leading batch shape; ``pair_row`` is
-    (..., >=12). Follows Kernels.h:36-115: triangle 1 = (p0, p0-e1 side,
-    p0+e2), triangle 2 = (p0, p0+e3, p0-e1 side); both share the
-    n = cross products built from e1.
+    (..., >=12).
     """
-    e1x, e1y, e1z = pair_row[..., 0], pair_row[..., 1], pair_row[..., 2]
-    e2x, e2y, e2z = pair_row[..., 3], pair_row[..., 4], pair_row[..., 5]
-    e3x, e3y, e3z = pair_row[..., 6], pair_row[..., 7], pair_row[..., 8]
-    p0x, p0y, p0z = pair_row[..., 9], pair_row[..., 10], pair_row[..., 11]
+    cols = tuple(pair_row[..., k] for k in range(12))
+    oc = (o[..., 0], o[..., 1], o[..., 2])
+    dc = (d[..., 0], d[..., 1], d[..., 2])
+    return triangle_pair_intersect_soa(cols, oc, dc, tmin, tmax)
 
-    ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
-    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+
+def triangle_pair_intersect_soa(cols, o, d, tmin, tmax) -> PairHit:
+    """Component-wise TrianglePair test (the math of Kernels.h:36-115):
+    triangle 1 = (p0, p0-e1 side, p0+e2), triangle 2 = (p0, p0+e3,
+    p0-e1 side); both share the cross products built from e1.
+
+    ``cols``: 12 arrays [e1xyz, e2xyz, e3xyz, p0xyz]; ``o``/``d``: tuples of
+    three (R,) arrays.
+    """
+    (e1x, e1y, e1z, e2x, e2y, e2z,
+     e3x, e3y, e3z, p0x, p0y, p0z) = cols
+    ox, oy, oz = o
+    dx, dy, dz = d
 
     n1x, n1y, n1z = _cross(e1x, e1y, e1z, e2x, e2y, e2z)
     n2x, n2y, n2z = _cross(e3x, e3y, e3z, e1x, e1y, e1z)

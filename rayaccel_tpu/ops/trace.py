@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from rayaccel_tpu.environment import Environment, sample_environment
-from rayaccel_tpu.ops.intersect import (aabb_hit, rotate_barycentrics,
-                                        safe_inv_dir, triangle_pair_intersect)
+from rayaccel_tpu.ops.intersect import (aabb_hit_soa, rotate_barycentrics,
+                                        safe_inv_dir,
+                                        triangle_pair_intersect_soa)
 from rayaccel_tpu.scene.compile import TpuScene
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 
@@ -56,23 +57,28 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
     (RayAccelerator.h:78-83 RayStream.count).
     """
     R = rays.o.shape[0]
-    rows = jnp.arange(R)
 
-    inv_d = safe_inv_dir(rays.d)
-    ood = -rays.o * inv_d
+    # Unpack to flat per-component lane vectors once: (R,) arrays keep the
+    # VPU's 8x128 lanes fully packed ((R, 3) layouts waste the minor dim).
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    ood = tuple(-o[a] * inv_d[a] for a in range(3))
 
     if active is None:
         cur0 = jnp.zeros((R,), jnp.int32)
     else:
         cur0 = jnp.where(active, jnp.int32(0), DONE)
 
-    # Stack has one trash column at index `stack_depth` so conditional
-    # pushes can write unconditionally.
-    stack0 = jnp.zeros((R, stack_depth + 1), jnp.int32)
+    # Per-ray stacks live TRANSPOSED, (depth, R): pushes/pops are one-hot
+    # level-mask blends over fully-packed lanes (a per-lane scatter in
+    # (R, depth) layout is ~200x slower on TPU).
+    level = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, R), 0)
     state = dict(
         cur=cur0,                                 # start at root node 0
         sp=jnp.zeros((R,), jnp.int32),
-        stack=stack0,
+        stack=jnp.zeros((stack_depth, R), jnp.int32),
         t_cur=rays.tmax,
         best=jnp.full((R,), -1, jnp.int32),       # pair-triangle slot (2p+w)
         bu=jnp.zeros((R,), jnp.float32),
@@ -93,10 +99,14 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
 
         c0 = _bitcast_i32(row[:, 12])
         c1 = _bitcast_i32(row[:, 13])
-        hit0, t0 = aabb_hit(row[:, 0:3], row[:, 3:6], inv_d, ood,
-                            rays.tmin, t_cur)
-        hit1, t1 = aabb_hit(row[:, 6:9], row[:, 9:12], inv_d, ood,
-                            rays.tmin, t_cur)
+        hit0, t0 = aabb_hit_soa(
+            (row[:, 0], row[:, 1], row[:, 2]),
+            (row[:, 3], row[:, 4], row[:, 5]),
+            inv_d, ood, rays.tmin, t_cur)
+        hit1, t1 = aabb_hit_soa(
+            (row[:, 6], row[:, 7], row[:, 8]),
+            (row[:, 9], row[:, 10], row[:, 11]),
+            inv_d, ood, rays.tmin, t_cur)
         both = hit0 & hit1
         near_is_1 = t1 < t0
         near = jnp.where(near_is_1, c1, c0)
@@ -105,8 +115,8 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
                               jnp.where(hit0, c0, jnp.where(hit1, c1, POP)))
 
         push = is_node & both
-        slot = jnp.where(push, sp, stack_depth)  # trash column when not pushing
-        stack = stack.at[rows, slot].set(far, mode="drop", unique_indices=True)
+        stack = jnp.where((level == sp[None, :]) & push[None, :],
+                          far[None, :], stack)
         sp = sp + push.astype(jnp.int32)
 
         # ---- leaf step: one TrianglePair per iteration (Kernels.h:200-204) ----
@@ -115,7 +125,8 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
         first = enc & _LEAF_MASK
         count = jax.lax.shift_right_logical(enc, 24)
         prow = jnp.take(scene.pairs, first, axis=0)   # (R, 16) gather
-        ph = triangle_pair_intersect(prow, rays.o, rays.d, rays.tmin, t_cur)
+        ph = triangle_pair_intersect_soa(
+            tuple(prow[:, k] for k in range(12)), o, d, rays.tmin, t_cur)
         hit_ok = is_leaf & (count > 0) & ph.valid
 
         best = jnp.where(hit_ok, first * 2 + ph.which, s["best"])
@@ -134,7 +145,8 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
         need_pop = nxt == POP
         can_pop = need_pop & (sp > 0)
         sp = sp - can_pop.astype(jnp.int32)
-        popped = stack[rows, jnp.where(can_pop, sp, stack_depth)]
+        popped = jnp.sum(jnp.where((level == sp[None, :]) & can_pop[None, :],
+                                   stack, 0), axis=0)
         nxt = jnp.where(need_pop, jnp.where(can_pop, popped, DONE), nxt)
 
         return dict(cur=nxt, sp=sp, stack=stack, t_cur=t_cur,
