@@ -122,10 +122,13 @@ def generate_pixel_rays(cam_arrays, px: jnp.ndarray, py: jnp.ndarray,
          + up[None, :] * py[:, None])
     d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True))
 
-    n = px.shape[0]
-    o = jnp.broadcast_to(origin[None, :], (n, 3))
+    # Mix a zero derived from the (possibly device-varying) pixel inputs
+    # into the broadcast fields so every ray component carries the same
+    # shard_map varying-axes tag as the pixel coordinates.
+    zero = px * 0.0
+    o = origin[None, :] + zero[:, None]
     return Rays(
         o=o, d=d,
-        tmin=jnp.full((n,), tmin, jnp.float32),
-        tmax=jnp.full((n,), tmax, jnp.float32),
+        tmin=tmin + zero,
+        tmax=tmax + zero,
     )

@@ -19,12 +19,15 @@ class Configuration:
     defaults at RayAccelerator.cpp:429-446):
 
     - ``gpuContext``            -> ``backend``: which traversal engine runs the
-      ray/scene intersection stage. ``"xla"`` is the lockstep while-loop
-      traversal compiled by XLA (role of the Embree CPU path,
-      Scene.cpp:374-484); ``"pallas"`` selects the hand-written Pallas kernel
-      path (role of the OpenCL kernel, Kernels.h:141-242). Both produce
-      identical hits and serve as each other's oracle, like the reference's
-      ``--no-gpu`` / ``--no-cpu-tracing`` flag pair (main.cpp:289-302).
+      ray/scene intersection stage. ``"mxu"`` is the cluster-dense tracer
+      (ops/trace_mxu.py) — the throughput engine, playing the role of the
+      OpenCL kernel (Kernels.h:141-242); ``"xla"`` is the lockstep
+      BVH2/TrianglePair traversal (ops/trace.py), the general-purpose
+      fallback in the role of the Embree CPU path (Scene.cpp:374-484);
+      ``"pallas"`` selects the hand-written Pallas kernel variant of the
+      dense tracer. All produce identical hits and serve as each other's
+      oracle, like the reference's ``--no-gpu`` / ``--no-cpu-tracing`` flag
+      pair (main.cpp:289-302).
     - ``allowCpuTracing``       -> ``allow_xla_tracing``: permit the XLA
       fallback when the Pallas backend is selected (hybrid mode analog).
     - ``cpuThreads``/``gpuSubmissionThreads`` -> gone: XLA owns scheduling;
@@ -41,11 +44,11 @@ class Configuration:
       keep the VPU's 8x128 lanes and the HBM pipeline occupied.
     """
 
-    backend: str = "xla"                    # "xla" | "pallas"
+    backend: str = "mxu"                    # "mxu" | "xla" | "pallas"
     allow_xla_tracing: bool = True
     max_rays_in_flight: int = 128 * 128 * 16
     max_rays_per_spawn: int = 128 * 128
-    trace_block: int = 1024
+    trace_block: int = 512
     shade_block: int = 8192
     wave_size: int = 128 * 128
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,
@@ -59,7 +62,7 @@ class Configuration:
     mesh_shape: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
-        if self.backend not in ("xla", "pallas"):
+        if self.backend not in ("mxu", "xla", "pallas", "bruteforce"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.backend == "pallas" and not self.allow_xla_tracing:
             # Mirrors the reference's conflicting-flags check (main.cpp:304).

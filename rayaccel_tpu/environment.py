@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,11 +19,18 @@ import numpy as np
 class Environment(NamedTuple):
     """Probe image as a device array (analog of racc::Environment,
     Environment.h:16-23; pixels stored inline after the struct,
-    Environment.cpp:15,33)."""
+    Environment.cpp:15,33). Width/height are derived from the pixel
+    array's (static) shape so they remain Python ints under jit."""
 
     pixels: jnp.ndarray  # (H, W, 3) float32
-    width: int
-    height: int
+
+    @property
+    def width(self) -> int:
+        return self.pixels.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.pixels.shape[0]
 
 
 def create_environment(colors, width: int, height: int) -> Environment:
@@ -34,7 +42,52 @@ def create_environment(colors, width: int, height: int) -> Environment:
     if arr.ndim == 2:
         arr = arr.reshape(height, width, -1)
     arr = arr[..., :3]
-    return Environment(pixels=jnp.asarray(arr), width=int(width), height=int(height))
+    assert arr.shape[:2] == (height, width)
+    return Environment(pixels=jnp.asarray(arr))
+
+
+def _angular_uv(env: Environment, d: jnp.ndarray):
+    """Direction -> probe pixel coordinates (fx, fy), the angular mapping of
+    Environment.h:33-48 / Kernels.h:215-219."""
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    len2 = dy * dy + dz * dz
+    rlen = jnp.where(len2 > 0, 1.0 / jnp.sqrt(len2), jnp.inf)
+    r = jnp.arccos(jnp.clip(-dx, -1.0, 1.0)) * (1.0 / (2.0 * np.pi)) * rlen
+    r = jnp.where(jnp.isfinite(r) & (rlen <= 1e6), r, 0.0)
+    u = 0.5 - r * dz
+    v = 0.5 - r * dy
+    return u * env.width - 0.5, v * env.height - 0.5
+
+
+def sample_environment_onehot(env: Environment, d: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free probe sampling: bilinear taps as a sparse one-hot weight
+    matrix contracted against the probe on the MXU. TPU per-lane gathers
+    run at ~100M/s, so the 4-tap bilinear gather costs ~40ns/ray; the
+    one-hot matmul costs ~1ns/ray for probes up to a few thousand texels.
+    Falls back to the gather path for large probes.
+    """
+    w, h = env.width, env.height
+    n_tex = w * h
+    if n_tex > 4096:
+        return sample_environment(env, d)
+
+    fx, fy = _angular_uv(env, d)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[:, None]
+    ty = (fy - y0)[:, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+
+    texel = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], n_tex), 1)
+    wmat = ((texel == (y0i * w + x0i)[:, None]) * (1 - tx) * (1 - ty)
+            + (texel == (y0i * w + x1i)[:, None]) * tx * (1 - ty)
+            + (texel == (y1i * w + x0i)[:, None]) * (1 - tx) * ty
+            + (texel == (y1i * w + x1i)[:, None]) * tx * ty)
+    flat = env.pixels.reshape(n_tex, 3)
+    return jax.lax.dot(wmat, flat, precision=jax.lax.Precision.HIGHEST)
 
 
 def sample_environment(env: Environment, d: jnp.ndarray) -> jnp.ndarray:
@@ -46,21 +99,11 @@ def sample_environment(env: Environment, d: jnp.ndarray) -> jnp.ndarray:
         u = 0.5 - r * d.z ;  v = 0.5 - r * d.y
 
     then bilinear with clamp-to-edge at pixel centers (uv*dim - 0.5).
+    The r guards mirror Kernels.h:217 (rlen > 1e6 => 0) and
+    Environment.h:42-43 (non-finite => 0).
     """
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
-    len2 = dy * dy + dz * dz
-    rlen = jnp.where(len2 > 0, 1.0 / jnp.sqrt(len2), jnp.inf)
-    r = jnp.arccos(jnp.clip(-dx, -1.0, 1.0)) * (1.0 / (2.0 * np.pi)) * rlen
-    # Guard: GPU kernel zeroes r when rlen > 1e6 (Kernels.h:217); CPU zeroes
-    # non-finite r (Environment.h:42-43).
-    r = jnp.where(jnp.isfinite(r) & (rlen <= 1e6), r, 0.0)
-
-    u = 0.5 - r * dz
-    v = 0.5 - r * dy
-
     w, h = env.width, env.height
-    fx = u * w - 0.5
-    fy = v * h - 0.5
+    fx, fy = _angular_uv(env, d)
 
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)

@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from rayaccel_tpu.environment import Environment, sample_environment
+from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import (aabb_hit_soa, rotate_barycentrics,
                                         safe_inv_dir,
                                         triangle_pair_intersect_soa)
@@ -75,14 +75,18 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
     # level-mask blends over fully-packed lanes (a per-lane scatter in
     # (R, depth) layout is ~200x slower on TPU).
     level = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, R), 0)
+    # Carry inits derive from ray inputs so the loop typechecks under
+    # shard_map (constant inits lack the varying-axes tag).
+    zi = cur0 * 0
+    zf = rays.tmax * 0.0
     state = dict(
         cur=cur0,                                 # start at root node 0
-        sp=jnp.zeros((R,), jnp.int32),
-        stack=jnp.zeros((stack_depth, R), jnp.int32),
+        sp=zi,
+        stack=jnp.broadcast_to(zi[None, :], (stack_depth, R)),
         t_cur=rays.tmax,
-        best=jnp.full((R,), -1, jnp.int32),       # pair-triangle slot (2p+w)
-        bu=jnp.zeros((R,), jnp.float32),
-        bv=jnp.zeros((R,), jnp.float32),
+        best=zi - 1,                              # pair-triangle slot (2p+w)
+        bu=zf,
+        bv=zf,
     )
 
     def cond(s):
@@ -163,7 +167,7 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
     u, v = rotate_barycentrics(code, out["bu"], out["bv"])
 
     if env is not None:
-        miss_rgb = sample_environment(env, rays.d)
+        miss_rgb = sample_environment_onehot(env, rays.d)
         mask = hit if active is None else (hit | ~active)
         miss_rgb = jnp.where(mask[:, None], 0.0, miss_rgb)
     else:
@@ -193,7 +197,7 @@ def trace(scene: TpuScene, rays: Rays, env: Environment | None = None,
         hits = trace_bruteforce(scene.tri_verts, rays)
         if env is not None:
             miss = hits.tri == INVALID_TRIANGLE
-            rgb = sample_environment(env, rays.d)
+            rgb = sample_environment_onehot(env, rays.d)
             hits = hits._replace(miss_rgb=jnp.where(miss[:, None], rgb, 0.0))
         return hits
     raise ValueError(f"unknown backend {backend!r}")

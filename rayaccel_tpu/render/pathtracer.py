@@ -4,16 +4,25 @@ Re-design of the reference PathTracingRenderer (reference
 PathTracingRenderer.cpp:53-570) for the TPU execution model. The
 reference's scheduler-driven spawn/shade callbacks with material-sorted
 8-wide batches become one compiled wave: a ``lax.while_loop`` over bounces
-where every iteration traces the surviving rays, accumulates miss
-contributions into the framebuffer via scatter-add, and regenerates the
-continuation rays in place. Material sorting is unnecessary because BSDF
-dispatch is branchless parameter gathering (see rayaccel_tpu.materials);
-the framebuffer scatter-add replaces the reference's benign racy
-accumulation (SURVEY.md §5) with a deterministic XLA scatter.
+where every iteration traces the surviving rays and regenerates the
+continuation rays in place.
 
-Depth is tracked in a separate (R,) array rather than packed into the
-pixel id's top byte (PathTracingRenderer.cpp:414) — same semantics, no
-bit packing needed when registers are free.
+TPU-native specifics:
+
+- Material sorting is unnecessary: BSDF dispatch is branchless parameter
+  gathering (rayaccel_tpu.materials), so the radix sort at
+  PathTracingRenderer.cpp:16-51 has no equivalent.
+- A lane serves exactly one pixel for its whole path, so radiance
+  accumulates in per-lane registers; the framebuffer is written once per
+  wave as a contiguous slice (no scatters; replaces the reference's racy
+  shared-framebuffer adds, SURVEY.md §5, with something deterministic).
+- A path samples the environment at most once (paths terminate on their
+  first miss), so the probe lookup is deferred out of the bounce loop and
+  executed once per wave via the one-hot MXU sampler.
+- With the default "mxu" backend, shading consumes the tracer's attribute
+  rows: the whole wave executes zero per-ray gathers.
+- Depth lives in its own (R,) array rather than the pixel id's top byte
+  (PathTracingRenderer.cpp:414) — same semantics without bit packing.
 """
 
 from __future__ import annotations
@@ -25,22 +34,24 @@ import jax.numpy as jnp
 
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
 from rayaccel_tpu.context import Context
-from rayaccel_tpu.environment import Environment, create_environment
+from rayaccel_tpu.environment import (Environment, create_environment,
+                                      sample_environment_onehot)
 from rayaccel_tpu.materials import sample_reflective_diffuse
 from rayaccel_tpu.ops.trace import trace_bvh
+from rayaccel_tpu.ops.trace_mxu import trace_mxu
 from rayaccel_tpu.render.shading import (interpolate_surface, merge_rays,
-                                         spawn_secondary)
+                                         spawn_secondary, surface_from_attrs)
 from rayaccel_tpu.render.tiled import TiledRenderer
+from rayaccel_tpu.scene.clusters import ATTR_COLS, ClusterScene, compile_clusters
 from rayaccel_tpu.scene.compile import TpuScene, compile_scene
 from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import INVALID_TRIANGLE
 
 
-def pt_shade(scene: TpuScene, rays, hits, weight, key, active):
-    """One shading step: the vectorized analog of
-    PathTracingRenderer::shade's active-ray path
+def pt_shade(surf, rays, weight, key):
+    """One shading step given a surface frame: the vectorized analog of
+    PathTracingRenderer::shade's active path
     (PathTracingRenderer.cpp:133-463). Returns (new_rays, new_weight, ok)."""
-    surf = interpolate_surface(scene, rays, hits, active)
     rnd = jax.random.uniform(key, (rays.o.shape[0], 3), jnp.float32)
     wo = -rays.d
     wi, color, transmitted = sample_reflective_diffuse(
@@ -51,75 +62,98 @@ def pt_shade(scene: TpuScene, rays, hits, weight, key, active):
     return new_rays, new_weight, ok
 
 
-@partial(jax.jit, static_argnames=("max_depth", "stack_depth"))
-def pt_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
-                  fb: jnp.ndarray, pixel: jnp.ndarray, x: jnp.ndarray,
-                  y: jnp.ndarray, alive0: jnp.ndarray, key: jax.Array,
-                  max_depth: int, stack_depth: int = 48):
-    """Trace one wave of pixels to completion (all bounces) and accumulate
-    into ``fb``. Jittable; shapes static in the wave size.
+@partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
+                                   "stack_depth"))
+def pt_trace_wave(scene, env: Environment, cam_arrays,
+                  x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
+                  key: jax.Array, max_depth: int, backend: str = "mxu",
+                  tile: int = 512, stack_depth: int = 48):
+    """Trace one wave of pixels to completion (all bounces).
 
-    Returns (fb, rays_traced).
+    Returns (radiance, rays_traced): per-lane accumulated radiance.
     """
-    R = pixel.shape[0]
+    R = x.shape[0]
     rays = generate_pixel_rays(cam_arrays, x, y, key=jax.random.fold_in(key, 0))
+    # Carry inits derive from ray/pixel inputs (shard_map varying-axes).
     state = dict(
         rays=rays,
-        weight=jnp.ones((R, 3), jnp.float32),
-        depth=jnp.zeros((R,), jnp.int32),
+        weight=jnp.ones_like(rays.o),
+        depth=x * 0,
         alive=alive0,
-        fb=fb,
-        traced=jnp.int32(0),
+        miss_d=rays.d,
+        miss_w=rays.o * 0.0,
+        traced=jnp.sum(x) * 0,
         bounce=jnp.int32(0),
     )
+
+    def trace_and_surface(rays, alive):
+        if backend == "mxu":
+            res = trace_mxu(scene, rays, env=None, active=alive, tile=tile)
+            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                      res.hits)
+            return res.hits, surf
+        hits = trace_bvh(scene, rays, env=None, active=alive,
+                         stack_depth=stack_depth)
+        surf = interpolate_surface(scene, rays, hits,
+                                   alive & (hits.tri >= 0))
+        return hits, surf
 
     def cond(s):
         return jnp.any(s["alive"])
 
     def body(s):
         rays, alive = s["rays"], s["alive"]
-        hits = trace_bvh(scene, rays, env, stack_depth=stack_depth,
-                         active=alive)
+        hits, surf = trace_and_surface(rays, alive)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
-        # Miss => environment contribution (the `contributing` partition,
-        # PathTracingRenderer.cpp:465-563).
+        # Terminal miss: remember direction+weight; the env probe lookup is
+        # deferred out of the loop (one sample per path, total).
         miss = alive & (hits.tri == INVALID_TRIANGLE)
-        contrib = jnp.where(miss[:, None], s["weight"] * hits.miss_rgb, 0.0)
-        fb = s["fb"].at[pixel].add(contrib)
+        miss_d = jnp.where(miss[:, None], rays.d, s["miss_d"])
+        miss_w = jnp.where(miss[:, None], s["weight"], s["miss_w"])
 
-        # Hit & depth budget => continue the path (the `active` partition,
-        # PathTracingRenderer.cpp:120-121).
+        # Hit & depth budget => continue (PathTracingRenderer.cpp:120-121).
         active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
         skey = jax.random.fold_in(key, s["bounce"] + 1)
-        new_rays, new_weight, ok = pt_shade(scene, rays, hits, s["weight"],
-                                            skey, active)
+        new_rays, new_weight, ok = pt_shade(surf, rays, s["weight"], skey)
         alive = active & ok
         return dict(
             rays=merge_rays(alive, new_rays, rays),
             weight=jnp.where(alive[:, None], new_weight, s["weight"]),
             depth=s["depth"] + active.astype(jnp.int32),
             alive=alive,
-            fb=fb,
+            miss_d=miss_d,
+            miss_w=miss_w,
             traced=traced,
             bounce=s["bounce"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["fb"], out["traced"]
+    env_rgb = sample_environment_onehot(env, out["miss_d"])
+    radiance = out["miss_w"] * env_rgb
+    return radiance, out["traced"]
 
 
 class PathTracingRenderer(TiledRenderer):
     """Progressive wavefront path tracer over a compiled scene."""
 
     def __init__(self, context: Context, camera: Camera, scene_data: SceneData,
-                 tpu_scene: TpuScene | None = None,
-                 environment: Environment | None = None):
+                 tpu_scene=None, environment: Environment | None = None):
         super().__init__(context, scene_data.viewport_width,
                          scene_data.viewport_height)
         self.camera = camera
         self.scene_data = scene_data
-        self.scene = tpu_scene if tpu_scene is not None else compile_scene(scene_data)
+        self.backend = context.configuration.backend
+        if tpu_scene is not None:
+            self.scene = tpu_scene
+            if isinstance(tpu_scene, ClusterScene):
+                self.backend = "mxu"
+            elif self.backend == "mxu":
+                self.backend = "xla"
+        elif self.backend == "mxu":
+            self.scene = compile_clusters(scene_data)
+        else:
+            self.scene = compile_scene(scene_data)
         if environment is None:
             env_px = scene_data.env_pixels
             assert env_px is not None, "scene has no environment probe"
@@ -131,11 +165,13 @@ class PathTracingRenderer(TiledRenderer):
         cam_arrays = self.camera.as_arrays()
         scene, env = self.scene, self.environment
         max_depth = self.max_depth
+        backend = self.backend
         stack_depth = self.context.configuration.traversal_stack_depth
+        tile = self.context.configuration.trace_block if backend == "mxu" else 512
 
-        def wave_fn(fb, base, key):
-            pixel, x, y, alive = self._wave_pixels(base)
-            return pt_trace_wave(scene, env, cam_arrays, fb, pixel, x, y,
-                                 alive, key, max_depth, stack_depth)
+        def wave_fn(x, y, alive, key):
+            return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
+                                 max_depth, backend=backend, tile=tile,
+                                 stack_depth=stack_depth)
 
         return wave_fn

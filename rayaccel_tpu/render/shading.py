@@ -72,6 +72,40 @@ def interpolate_surface(scene: TpuScene, rays: Rays, hits: Hits,
                          d_dot_ng=d_dot_ng, entering=entering)
 
 
+def surface_from_attrs(attrs: jnp.ndarray, mat_table: jnp.ndarray,
+                       rays: Rays, hits: Hits) -> SurfaceSample:
+    """Build the shading frame from the MXU tracer's per-hit attribute rows
+    (scene/clusters.py layout) — the gather-free equivalent of
+    :func:`interpolate_surface`."""
+    u = hits.u[:, None]
+    v = hits.v[:, None]
+    w = 1.0 - u - v
+    n0 = attrs[:, 0:3]
+    n1 = attrs[:, 3:6]
+    n2 = attrs[:, 6:9]
+    ns = n0 * w + n1 * u + n2 * v
+    ns = ns * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(ns * ns, axis=-1, keepdims=True), 1e-30))
+    ng = attrs[:, 9:12]
+    uv = attrs[:, 12:14] * w + attrs[:, 14:16] * u + attrs[:, 16:18] * v
+
+    # Material parameters via tiny one-hot contraction (M is small; the
+    # reference's per-instance virtual dispatch, Materials.h:15-20, is a
+    # 4-row table here).
+    m = attrs[:, 18].astype(jnp.int32)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32,
+                                       (m.shape[0], mat_table.shape[0]), 1)
+              == m[:, None]).astype(jnp.float32)
+    params = onehot @ mat_table
+
+    d_dot_ng = jnp.sum(rays.d * ng, axis=-1)
+    entering = d_dot_ng < 0
+    ns = jnp.where(entering[:, None], ns, -ns)
+    pos = rays.o + hits.t[:, None] * rays.d
+    return SurfaceSample(pos=pos, ns=ns, ng=ng, uv=uv, mat_params=params,
+                         d_dot_ng=d_dot_ng, entering=entering)
+
+
 def spawn_secondary(surf: SurfaceSample, wi: jnp.ndarray,
                     new_weight: jnp.ndarray, transmitted: jnp.ndarray,
                     d_dot_ng: jnp.ndarray):

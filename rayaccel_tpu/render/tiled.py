@@ -2,15 +2,27 @@
 
 Analog of the reference TiledRenderer (reference TiledRenderer.h:35-68,
 TiledRenderer.cpp:11-77): owns the HDR accumulation framebuffer and walks
-the frame in fixed-size tiles. On TPU the atomic tile counter becomes a
-static partition of the flat pixel array into waves of ``wave_size``
-pixels (tile order is irrelevant once spawn/trace/shade are fused into one
-compiled wave), and per-thread arenas are unnecessary — XLA owns scratch.
+the frame in fixed-size tiles. TPU redesign:
+
+- The atomic tile counter becomes a static partition of the frame into
+  waves of ``wave_size`` pixels.
+- Pixels are *block-swizzled* (32x16 screen blocks): consecutive wave
+  lanes form compact screen tiles so the MXU tracer's ray tiles are
+  spatially coherent — the wavefront analog of the reference's 128x128
+  tile coherence (TiledRenderer.h:37).
+- The framebuffer is stored in swizzled lane order and each wave writes
+  one contiguous slice. Because a path-tracing/Whitted lane serves
+  exactly one pixel, radiance accumulates in per-lane registers and no
+  scatter ever touches the framebuffer (the reference instead relies on
+  benignly-racy scatter into a shared buffer, SURVEY.md §5; TPU scatters
+  cost ~10ns/element, so lane-order accumulation is both deterministic
+  AND the fast path). ``image()`` un-permutes on the host once per
+  readback.
 
 Subclasses implement :meth:`_build_wave_fn` returning a jitted
-``(fb, base_pixel, key) -> (fb, rays_traced)`` closure; this inversion
-mirrors the reference's spawn/shade callbacks (RayAccelerator.h:89-93) with
-the library driving the loop.
+``(x, y, alive, key) -> (radiance, rays_traced)`` closure; this inversion
+mirrors the reference's spawn/shade callbacks (RayAccelerator.h:89-93)
+with the library driving the loop.
 """
 
 from __future__ import annotations
@@ -22,9 +34,40 @@ import jax.numpy as jnp
 from rayaccel_tpu.context import Context
 from rayaccel_tpu.types import Stats
 
+BLOCK_W = 32
+BLOCK_H = 16
+
+
+def block_swizzle(width: int, height: int, pad_to: int):
+    """Flat pixel ids in block-major order, padded with -1 to ``pad_to``.
+
+    Returns (perm, x, y) int32 arrays of length pad_to; padding lanes have
+    perm == -1 and x = y = 0.
+    """
+    bw, bh = BLOCK_W, BLOCK_H
+    nbx = -(-width // bw)
+    nby = -(-height // bh)
+    ys, xs = np.mgrid[0:nby * bh, 0:nbx * bw]
+    inside = (xs < width) & (ys < height)
+    key = (((ys // bh) * nbx + (xs // bw)).astype(np.int64) * (bw * bh)
+           + (ys % bh) * bw + (xs % bw))
+    order = np.argsort(key.ravel(), kind="stable")
+    xs = xs.ravel()[order]
+    ys = ys.ravel()[order]
+    inside = inside.ravel()[order]
+    n = len(xs)
+    assert pad_to >= n
+    perm = np.full(pad_to, -1, np.int64)
+    x = np.zeros(pad_to, np.int64)
+    y = np.zeros(pad_to, np.int64)
+    perm[:n] = np.where(inside, ys * width + xs, -1)
+    x[:n] = xs
+    y[:n] = ys
+    return perm, x, y
+
 
 class TiledRenderer:
-    tile_size = 128  # reference TiledRenderer.h:37
+    tile_size = 128  # reference TiledRenderer.h:37 (kept for API parity)
 
     def __init__(self, context: Context, width: int, height: int):
         self.context = context
@@ -32,25 +75,51 @@ class TiledRenderer:
         self.height = int(height)
         self.wave_size = context.configuration.wave_size
         self.n_pixels = self.width * self.height
-        self.n_waves = -(-self.n_pixels // self.wave_size)
+
+        n_blocks = (-(-self.width // BLOCK_W)) * (-(-self.height // BLOCK_H))
+        n_lanes = n_blocks * BLOCK_W * BLOCK_H
+        self.n_waves = -(-n_lanes // self.wave_size)
+        self.n_lanes = self.n_waves * self.wave_size
+
+        perm, x, y = block_swizzle(self.width, self.height, self.n_lanes)
+        self._perm = perm
+        self._wave_inputs = []
+        for w in range(self.n_waves):
+            sl = slice(w * self.wave_size, (w + 1) * self.wave_size)
+            self._wave_inputs.append((
+                jnp.asarray(x[sl], jnp.int32),
+                jnp.asarray(y[sl], jnp.int32),
+                jnp.asarray(perm[sl] >= 0),
+            ))
+
         self.spp = 0
-        self._fb = jnp.zeros((self.n_pixels, 3), jnp.float32)
+        self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
         self._wave_fn = None  # built lazily by subclass
+        self._accum = jax.jit(
+            lambda fb, rad, base: jax.lax.dynamic_update_slice(
+                fb, jax.lax.dynamic_slice(fb, (base, 0),
+                                          (self.wave_size, 3)) + rad,
+                (base, 0)))
 
     # -- framebuffer management (TiledRenderer.cpp:51-60) --
     def clear(self):
-        self._fb = jnp.zeros((self.n_pixels, 3), jnp.float32)
+        self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
         self.spp = 0
 
     @property
     def frame_buffer(self) -> jnp.ndarray:
+        """Swizzled lane-order accumulation buffer."""
         return self._fb
 
     def image(self) -> np.ndarray:
         """Accumulated HDR image divided by spp (DisplayBuffer.cpp:22-74
-        does the divide during present)."""
+        does the divide during present). Un-permutes the swizzled buffer."""
         spp = max(self.spp, 1)
-        return np.asarray(self._fb).reshape(self.height, self.width, 3) / spp
+        fb = np.asarray(self._fb)
+        img = np.zeros((self.n_pixels, 3), np.float32)
+        valid = self._perm >= 0
+        img[self._perm[valid]] = fb[valid]
+        return img.reshape(self.height, self.width, 3) / spp
 
     # -- frame loop (role of racc::render + cpuWorkerThread spawn path) --
     def render_frame(self, key: jax.Array) -> Stats:
@@ -58,13 +127,13 @@ class TiledRenderer:
         of one racc::render frame barrier (RayAccelerator.cpp:738-759)."""
         if self._wave_fn is None:
             self._wave_fn = self._build_wave_fn()
-        fb = self._fb
-        traced = jnp.int64(0) if jax.config.read("jax_enable_x64") else jnp.int32(0)
-        for w in range(self.n_waves):
+        traced = jnp.int32(0)
+        for w, (x, y, alive) in enumerate(self._wave_inputs):
             wave_key = jax.random.fold_in(key, w)
-            fb, n = self._wave_fn(fb, jnp.int32(w * self.wave_size), wave_key)
+            radiance, n = self._wave_fn(x, y, alive, wave_key)
+            self._fb = self._accum(self._fb, radiance,
+                                   jnp.int32(w * self.wave_size))
             traced = traced + n
-        self._fb = fb
         self.spp += 1
         self.end_frame()
         return Stats(rays_traced=traced)
@@ -74,13 +143,3 @@ class TiledRenderer:
 
     def _build_wave_fn(self):
         raise NotImplementedError
-
-    # Helper shared by integrators: flat pixel ids -> (x, y, alive) with
-    # padding lanes beyond the framebuffer masked off.
-    def _wave_pixels(self, base: jnp.ndarray):
-        idx = base + jnp.arange(self.wave_size, dtype=jnp.int32)
-        alive = idx < self.n_pixels
-        safe = jnp.where(alive, idx, 0)
-        x = safe % self.width
-        y = safe // self.width
-        return safe, x, y, alive

@@ -33,10 +33,13 @@ from rayaccel_tpu.camera import Camera, generate_pixel_rays
 from rayaccel_tpu.context import Context
 from rayaccel_tpu.environment import Environment, create_environment
 from rayaccel_tpu.ops.trace import trace_bvh
+from rayaccel_tpu.ops.trace_mxu import trace_mxu
 from rayaccel_tpu.render.shading import (ORIGIN_EPSILON, SECONDARY_TMAX,
                                          SECONDARY_TMIN, WEIGHT_CUTOFF,
-                                         interpolate_surface, merge_rays)
+                                         interpolate_surface, merge_rays,
+                                         surface_from_attrs)
 from rayaccel_tpu.render.tiled import TiledRenderer
+from rayaccel_tpu.scene.clusters import ClusterScene, compile_clusters
 from rayaccel_tpu.scene.compile import TpuScene, compile_scene
 from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import INVALID_TRIANGLE, Rays
@@ -46,14 +49,14 @@ LIGHT_DIR = (0.57, 0.57, 0.57)           # WhittedRenderer.cpp:357-359
 ETA_GLASS = 1.1                          # WhittedRenderer.cpp:429-430
 
 
-def whitted_shade(scene: TpuScene, rays: Rays, hits, weight, active):
-    """Compute direct radiance + both child rays for active hits.
+def whitted_shade(surf, rays: Rays, weight):
+    """Compute direct radiance + both child rays for active hits, given a
+    shading frame (from gathers or from the MXU tracer's attribute rows).
 
     Vectorized analog of WhittedRenderer::shade's 8-wide block
     (WhittedRenderer.cpp:203-581). Returns
     (radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok).
     """
-    surf = interpolate_surface(scene, rays, hits, active)
     d = rays.d
     ns = surf.ns  # already flipped toward the incoming ray
 
@@ -99,36 +102,53 @@ def whitted_shade(scene: TpuScene, rays: Rays, hits, weight, active):
     return radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok
 
 
-@partial(jax.jit, static_argnames=("max_depth", "stack_size", "stack_depth"))
-def whitted_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
-                       fb: jnp.ndarray, pixel: jnp.ndarray, x: jnp.ndarray,
-                       y: jnp.ndarray, alive0: jnp.ndarray, key: jax.Array,
-                       max_depth: int, stack_size: int = 9,
+@partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
+                                   "tile", "stack_depth"))
+def whitted_trace_wave(scene, env: Environment, cam_arrays,
+                       x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
+                       key: jax.Array, max_depth: int, stack_size: int = 9,
+                       backend: str = "mxu", tile: int = 512,
                        stack_depth: int = 48):
     """Trace one wave of pixels through their full Whitted ray trees.
 
-    Returns (fb, rays_traced, dropped) where ``dropped`` counts refraction
-    rays lost to parked-stack overflow (must be 0 when
-    stack_size > max_depth; the analog of the reference's pool-drained
-    invariant, WhittedRenderer.cpp:62).
-    """
-    R = pixel.shape[0]
-    rays = generate_pixel_rays(cam_arrays, x, y, key=key)
-    rows = jnp.arange(R)
+    Returns (radiance, rays_traced, dropped): per-lane accumulated
+    radiance; ``dropped`` counts refraction rays lost to parked-stack
+    overflow (must be 0 when stack_size > max_depth — the analog of the
+    reference's pool-drained invariant, WhittedRenderer.cpp:62).
 
+    The parked-ray stacks live transposed, (stack_size, R), so pushes and
+    pops are one-hot level blends over packed lanes (see ops/trace.py on
+    why (R, S) scatter layouts are slow on TPU).
+    """
+    R = x.shape[0]
+    rays = generate_pixel_rays(cam_arrays, x, y, key=key)
+    level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
+
+    def trace_and_surface(rays, alive):
+        if backend == "mxu":
+            res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
+            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                      res.hits)
+            return res.hits, surf
+        hits = trace_bvh(scene, rays, env=env, active=alive,
+                         stack_depth=stack_depth)
+        surf = interpolate_surface(scene, rays, hits, alive & (hits.tri >= 0))
+        return hits, surf
+
+    # Carry inits derive from ray/pixel inputs (shard_map varying-axes).
+    zf = rays.tmax * 0.0
     state = dict(
         rays=rays,
-        weight=jnp.ones((R, 3), jnp.float32),
-        depth=jnp.zeros((R,), jnp.int32),
+        weight=jnp.ones_like(rays.o),
+        depth=x * 0,
         alive=alive0,
-        sp=jnp.zeros((R,), jnp.int32),
-        stk_o=jnp.zeros((R, stack_size, 3), jnp.float32),
-        stk_d=jnp.zeros((R, stack_size, 3), jnp.float32),
-        stk_w=jnp.zeros((R, stack_size, 3), jnp.float32),
-        stk_depth=jnp.zeros((R, stack_size), jnp.int32),
-        fb=fb,
-        traced=jnp.int32(0),
-        dropped=jnp.int32(0),
+        sp=x * 0,
+        stk=jnp.broadcast_to(zf[None, None, :],
+                             (stack_size, 7, R)),  # o(3) d(3) depth(1)
+        stk_w=jnp.broadcast_to(zf[None, None, :], (stack_size, 3, R)),
+        radiance=rays.o * 0.0,
+        traced=jnp.sum(x) * 0,
+        dropped=jnp.sum(x) * 0,
     )
 
     def cond(s):
@@ -136,24 +156,24 @@ def whitted_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
 
     def body(s):
         rays, alive, weight = s["rays"], s["alive"], s["weight"]
-        hits = trace_bvh(scene, rays, env, stack_depth=stack_depth,
-                         active=alive)
+        hits, surf = trace_and_surface(rays, alive)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
-        fb = s["fb"]
-        # Miss => environment (WhittedRenderer.cpp:586-680).
+        radiance = s["radiance"]
+        # Miss => environment (WhittedRenderer.cpp:586-680); env radiance is
+        # folded into the trace result (Result union contract).
         miss = alive & (hits.tri == INVALID_TRIANGLE)
-        fb = fb.at[pixel].add(jnp.where(miss[:, None],
-                                        weight * hits.miss_rgb, 0.0))
+        radiance = radiance + jnp.where(miss[:, None],
+                                        weight * hits.miss_rgb, 0.0)
 
         # Active hits: direct light + children (hits at depth == max_depth
         # terminate without contribution, WhittedRenderer.cpp:171-187).
         active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
-        radiance, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
-            scene, rays, hits, weight, active)
+        direct, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
+            surf, rays, weight)
         refl_ok = refl_ok & active
         refr_ok = refr_ok & active
-        fb = fb.at[pixel].add(jnp.where(active[:, None], radiance, 0.0))
+        radiance = radiance + jnp.where(active[:, None], direct, 0.0)
 
         # Continuation selection (WhittedRenderer.cpp:535-565): reflection
         # continues; lone refraction continues; both => park refraction.
@@ -164,16 +184,13 @@ def whitted_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
         sp = s["sp"]
         can_park = park & (sp < stack_size)
         dropped = s["dropped"] + jnp.sum((park & ~can_park).astype(jnp.int32))
-        slot = jnp.where(can_park, sp, 0)
-        pk = can_park[:, None]
-        stk_o = s["stk_o"].at[rows, slot].set(
-            jnp.where(pk, refr.o, s["stk_o"][rows, slot]))
-        stk_d = s["stk_d"].at[rows, slot].set(
-            jnp.where(pk, refr.d, s["stk_d"][rows, slot]))
-        stk_w = s["stk_w"].at[rows, slot].set(
-            jnp.where(pk, new_w, s["stk_w"][rows, slot]))
-        stk_depth = s["stk_depth"].at[rows, slot].set(
-            jnp.where(can_park, s["depth"] + 1, s["stk_depth"][rows, slot]))
+        push_mask = (level == sp[None, :]) & can_park[None, :]
+        entry = jnp.stack([refr.o[:, 0], refr.o[:, 1], refr.o[:, 2],
+                           refr.d[:, 0], refr.d[:, 1], refr.d[:, 2],
+                           (s["depth"] + 1).astype(jnp.float32)])  # (7, R)
+        stk = jnp.where(push_mask[:, None, :], entry[None, :, :], s["stk"])
+        stk_w = jnp.where(push_mask[:, None, :], new_w.T[None, :, :],
+                          s["stk_w"])
         sp = sp + can_park.astype(jnp.int32)
 
         # Termination => resurrect a parked ray (loopHandling,
@@ -181,26 +198,27 @@ def whitted_trace_wave(scene: TpuScene, env: Environment, cam_arrays,
         terminated = alive & ~has_next
         pop = terminated & (sp > 0)
         sp = sp - pop.astype(jnp.int32)
-        pslot = jnp.where(pop, sp, 0)
+        pop_mask = (level == sp[None, :]) & pop[None, :]
+        pe = jnp.sum(jnp.where(pop_mask[:, None, :], stk, 0.0), axis=0)  # (7,R)
+        pw = jnp.sum(jnp.where(pop_mask[:, None, :], stk_w, 0.0), axis=0)
         popped = Rays(
-            o=stk_o[rows, pslot], d=stk_d[rows, pslot],
+            o=pe[0:3].T, d=pe[3:6].T,
             tmin=jnp.full((R,), SECONDARY_TMIN, jnp.float32),
             tmax=jnp.full((R,), SECONDARY_TMAX, jnp.float32))
 
         alive_next = (active & has_next) | pop
         out_rays = merge_rays(pop, popped, merge_rays(has_next, next_rays, rays))
-        out_w = jnp.where(pop[:, None], stk_w[rows, pslot],
+        out_w = jnp.where(pop[:, None], pw.T,
                           jnp.where(active[:, None], new_w, weight))
-        out_depth = jnp.where(pop, stk_depth[rows, pslot],
+        out_depth = jnp.where(pop, pe[6].astype(jnp.int32),
                               s["depth"] + active.astype(jnp.int32))
 
         return dict(rays=out_rays, weight=out_w, depth=out_depth,
-                    alive=alive_next, sp=sp, stk_o=stk_o, stk_d=stk_d,
-                    stk_w=stk_w, stk_depth=stk_depth, fb=fb, traced=traced,
-                    dropped=dropped)
+                    alive=alive_next, sp=sp, stk=stk, stk_w=stk_w,
+                    radiance=radiance, traced=traced, dropped=dropped)
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["fb"], out["traced"], out["dropped"]
+    return out["radiance"], out["traced"], out["dropped"]
 
 
 class WhittedRenderer(TiledRenderer):
@@ -213,7 +231,17 @@ class WhittedRenderer(TiledRenderer):
                          scene_data.viewport_height)
         self.camera = camera
         self.scene_data = scene_data
-        self.scene = tpu_scene if tpu_scene is not None else compile_scene(scene_data)
+        self.backend = context.configuration.backend
+        if tpu_scene is not None:
+            self.scene = tpu_scene
+            if isinstance(tpu_scene, ClusterScene):
+                self.backend = "mxu"
+            elif self.backend == "mxu":
+                self.backend = "xla"
+        elif self.backend == "mxu":
+            self.scene = compile_clusters(scene_data)
+        else:
+            self.scene = compile_scene(scene_data)
         if environment is None:
             env_px = scene_data.env_pixels
             assert env_px is not None, "scene has no environment probe"
@@ -230,13 +258,15 @@ class WhittedRenderer(TiledRenderer):
         stack_size = max(self.context.configuration.max_shading_depth,
                          max_depth + 1)
         stack_depth = self.context.configuration.traversal_stack_depth
+        backend = self.backend
+        tile = self.context.configuration.trace_block
 
-        def wave_fn(fb, base, key):
-            pixel, x, y, alive = self._wave_pixels(base)
-            fb, traced, dropped = whitted_trace_wave(
-                scene, env, cam_arrays, fb, pixel, x, y, alive, key,
-                max_depth, stack_size, stack_depth)
+        def wave_fn(x, y, alive, key):
+            radiance, traced, dropped = whitted_trace_wave(
+                scene, env, cam_arrays, x, y, alive, key,
+                max_depth, stack_size, backend=backend, tile=tile,
+                stack_depth=stack_depth)
             self.dropped += int(dropped)
-            return fb, traced
+            return radiance, traced
 
         return wave_fn

@@ -1,5 +1,6 @@
 """Integrator tests: golden checks against direct oracle evaluation and the
-invariants mirrored from the reference's runtime asserts (SURVEY.md §4)."""
+invariants mirrored from the reference's runtime asserts (SURVEY.md §4).
+Parameterized over both traversal backends (the dual-engine oracle)."""
 
 import numpy as np
 import jax
@@ -7,22 +8,26 @@ import jax.numpy as jnp
 import pytest
 
 import rayaccel_tpu as racc
-from rayaccel_tpu.environment import create_environment, sample_environment
+from rayaccel_tpu.environment import create_environment, sample_environment_onehot
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
 from rayaccel_tpu.ops.bruteforce import trace_bruteforce
 from rayaccel_tpu.types import INVALID_TRIANGLE
 
 
-def make_context(wave_size=4096):
-    cfg = racc.Configuration(wave_size=wave_size)
+def make_context(backend, wave_size=4096):
+    cfg = racc.Configuration(wave_size=wave_size, backend=backend)
     return racc.create_context(cfg)
 
 
 @pytest.fixture(scope="module")
 def small_scene():
     from rayaccel_tpu.scene.loader import make_test_scene
-    s = make_test_scene(viewport=(64, 64), max_depth=3)
-    return s
+    return make_test_scene(viewport=(64, 64), max_depth=3)
+
+
+def cam_of(s):
+    return Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
+                          s.viewport_width, s.viewport_height)
 
 
 def env_of(scene_data):
@@ -30,41 +35,46 @@ def env_of(scene_data):
     return create_environment(px, px.shape[1], px.shape[0])
 
 
-def test_pt_depth0_matches_oracle(small_scene):
+@pytest.mark.parametrize("backend", ["mxu", "xla"])
+def test_pt_depth0_matches_oracle(small_scene, backend):
     """With max_depth=0 a pixel is exactly env radiance on miss, 0 on hit
     (misses contribute, hits terminate): checkable without any BVH."""
     s = small_scene
     s0 = type(s)(**{**s.__dict__, "max_depth": 0})
-    ctx = make_context()
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
+    ctx = make_context(backend)
+    cam = cam_of(s)
     r = racc.PathTracingRenderer(ctx, cam, s0)
     key = jax.random.PRNGKey(0)
     stats = r.render_frame(key)
     img = r.image().reshape(-1, 3)
 
-    # Oracle: regenerate the same primary rays (same key path) and evaluate.
     n = s.viewport_width * s.viewport_height
     assert int(stats.rays_traced) == n
-    idx = np.arange(n)
-    x = jnp.asarray(idx % s.viewport_width)
-    y = jnp.asarray(idx // s.viewport_width)
-    wave_key = jax.random.fold_in(key, 0)
-    rays = generate_pixel_rays(cam.as_arrays(), x, y,
-                               key=jax.random.fold_in(wave_key, 0))
-    hits = trace_bruteforce(r.scene.tri_verts, rays)
-    miss = np.asarray(hits.tri) == INVALID_TRIANGLE
-    env_rgb = np.asarray(sample_environment(env_of(s), rays.d))
-    expected = np.where(miss[:, None], env_rgb, 0.0)
-    np.testing.assert_allclose(img, expected, atol=1e-4)
+
+    # Oracle: regenerate the same primary rays wave by wave (same key path)
+    # and evaluate env-on-miss directly.
+    from rayaccel_tpu.scene.compile import compile_scene
+    tri_verts = compile_scene(s0).tri_verts
+    expected = np.zeros((n, 3), np.float32)
+    env = env_of(s)
+    for w, (x, y, alive) in enumerate(r._wave_inputs):
+        wave_key = jax.random.fold_in(jax.random.fold_in(key, w), 0)
+        rays = generate_pixel_rays(cam.as_arrays(), x, y, key=wave_key)
+        hits = trace_bruteforce(tri_verts, rays)
+        miss = np.asarray(hits.tri) == INVALID_TRIANGLE
+        env_rgb = np.asarray(sample_environment_onehot(env, rays.d))
+        rad = np.where(miss[:, None], env_rgb, 0.0)
+        perm = r._perm[w * r.wave_size:(w + 1) * r.wave_size]
+        ok = perm >= 0
+        expected[perm[ok]] = rad[ok]
+    np.testing.assert_allclose(img, expected, atol=2e-4)
 
 
-def test_pt_progressive_and_finite(small_scene):
-    ctx = make_context()
+@pytest.mark.parametrize("backend", ["mxu", "xla"])
+def test_pt_progressive_and_finite(small_scene, backend):
+    ctx = make_context(backend)
     s = small_scene
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
-    r = racc.PathTracingRenderer(ctx, cam, s)
+    r = racc.PathTracingRenderer(ctx, cam_of(s), s)
     total = 0
     for i in range(3):
         stats = r.render_frame(jax.random.PRNGKey(i))
@@ -80,20 +90,31 @@ def test_pt_progressive_and_finite(small_scene):
     assert 3 * n <= total <= 3 * n * (s.max_depth + 1)
 
 
-def test_pt_variance_decreases(small_scene):
-    """Progressive accumulation converges: the mean over many spp should
-    have lower deviation-to-converged than 1 spp."""
-    ctx = make_context()
+def test_pt_backends_agree(small_scene):
+    """The two traversal engines must produce statistically identical
+    renders — the cross-engine oracle (reference: Embree vs OpenCL image
+    agreement via --no-gpu/--no-cpu-tracing, main.cpp:289-302)."""
     s = small_scene
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
-    r = racc.PathTracingRenderer(ctx, cam, s)
+    imgs = {}
+    for backend in ("mxu", "xla"):
+        r = racc.PathTracingRenderer(make_context(backend), cam_of(s), s)
+        for i in range(4):
+            r.render_frame(jax.random.PRNGKey(i))
+        imgs[backend] = r.image()
+    rmse = np.sqrt(np.mean((imgs["mxu"] - imgs["xla"]) ** 2))
+    assert rmse < 1e-3, f"backend images diverge: rmse={rmse}"
+
+
+def test_pt_variance_decreases(small_scene):
+    ctx = make_context("mxu")
+    s = small_scene
+    r = racc.PathTracingRenderer(ctx, cam_of(s), s)
     r.render_frame(jax.random.PRNGKey(0))
     img1 = r.image()
     for i in range(1, 8):
         r.render_frame(jax.random.PRNGKey(i))
     img8 = r.image()
-    r2 = racc.PathTracingRenderer(ctx, cam, s)
+    r2 = racc.PathTracingRenderer(ctx, cam_of(s), s)
     for i in range(8, 24):
         r2.render_frame(jax.random.PRNGKey(i))
     ref = r2.image()
@@ -102,13 +123,12 @@ def test_pt_variance_decreases(small_scene):
     assert err8 < err1
 
 
-def test_whitted_renders_and_pool_drains(small_scene):
-    ctx = make_context()
+@pytest.mark.parametrize("backend", ["mxu", "xla"])
+def test_whitted_renders_and_pool_drains(small_scene, backend):
+    ctx = make_context(backend)
     s = small_scene
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
     s8 = type(s)(**{**s.__dict__, "max_depth": 8})  # main.cpp:346
-    r = racc.WhittedRenderer(ctx, cam, s8)
+    r = racc.WhittedRenderer(ctx, cam_of(s), s8)
     stats = r.render_frame(jax.random.PRNGKey(0))
     img = r.image()
     assert np.isfinite(img).all() and (img >= 0).all()
@@ -119,14 +139,31 @@ def test_whitted_renders_and_pool_drains(small_scene):
     assert int(stats.rays_traced) >= n
 
 
-def test_whitted_deterministic(small_scene):
-    ctx = make_context()
+def test_whitted_backends_agree(small_scene):
     s = small_scene
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
+    s8 = type(s)(**{**s.__dict__, "max_depth": 8})
+    imgs = {}
+    for backend in ("mxu", "xla"):
+        r = racc.WhittedRenderer(make_context(backend), cam_of(s), s8)
+        r.render_frame(jax.random.PRNGKey(3))
+        imgs[backend] = r.image()
+    # Whitted is deterministic, so geometry-edge pixels where float noise
+    # flips a reflection branch differ persistently; require agreement
+    # everywhere else (the reference's oracle is likewise visual agreement
+    # between Embree and the OpenCL engine, not bit equality).
+    diff = np.abs(imgs["mxu"] - imgs["xla"]).max(axis=-1)
+    frac_diff = (diff > 1e-3).mean()
+    rmse = np.sqrt(np.mean((imgs["mxu"] - imgs["xla"]) ** 2))
+    assert frac_diff < 0.02, f"{frac_diff:.1%} pixels diverge"
+    assert rmse < 0.02, f"backend images diverge: rmse={rmse}"
+
+
+def test_whitted_deterministic(small_scene):
+    ctx = make_context("mxu")
+    s = small_scene
     imgs = []
     for _ in range(2):
-        r = racc.WhittedRenderer(ctx, cam, s)
+        r = racc.WhittedRenderer(ctx, cam_of(s), s)
         r.render_frame(jax.random.PRNGKey(7))
         imgs.append(r.image())
     np.testing.assert_array_equal(imgs[0], imgs[1])
@@ -134,11 +171,9 @@ def test_whitted_deterministic(small_scene):
 
 def test_render_api_parity(small_scene):
     """racc::render-shaped API drives a frame (RayAccelerator.h:115)."""
-    ctx = make_context()
+    ctx = make_context("mxu")
     s = small_scene
-    cam = Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov,
-                         s.viewport_width, s.viewport_height)
-    r = racc.PathTracingRenderer(ctx, cam, s)
+    r = racc.PathTracingRenderer(ctx, cam_of(s), s)
     stats = racc.render(ctx, None, None, r)
     assert int(stats.rays_traced) > 0
     assert r.spp == 1

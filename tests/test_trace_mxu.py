@@ -1,0 +1,103 @@
+"""MXU-dense tracer correctness vs the brute-force oracle, and attribute
+fetch correctness vs direct gathers — extending the multi-engine oracle
+(SURVEY.md §4) to the third backend."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.ops.bruteforce import trace_bruteforce
+from rayaccel_tpu.ops.trace_mxu import trace_mxu
+from rayaccel_tpu.scene.clusters import compile_clusters
+from rayaccel_tpu.scene.loader import make_test_scene
+from rayaccel_tpu.types import make_rays, INVALID_TRIANGLE
+
+from tests.test_trace import assert_hits_match
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    sd = make_test_scene()
+    from rayaccel_tpu.scene.compile import compile_scene
+    return sd, compile_scene(sd), compile_clusters(sd, cluster_size=16)
+
+
+def test_mxu_camera_rays(scenes):
+    sd, ts, cs = scenes
+    cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov, 64, 64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    rays = generate_pixel_rays(cam.as_arrays(),
+                               jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel()))
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    h_mxu = trace_mxu(cs, rays, tile=1024).hits
+    assert (np.asarray(h_mxu.tri) >= 0).mean() > 0.3
+    assert_hits_match(h_ref, h_mxu, rays)
+
+
+def test_mxu_random_rays(scenes, rng):
+    sd, ts, cs = scenes
+    n = 4096
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    h_mxu = trace_mxu(cs, rays, tile=512).hits
+    assert_hits_match(h_ref, h_mxu, rays)
+
+
+def test_mxu_attrs_match_gathers(scenes, rng):
+    """One-hot attribute rows must equal directly gathered attributes."""
+    sd, ts, cs = scenes
+    n = 2048
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    res = trace_mxu(cs, rays, tile=1024)
+    tri = np.asarray(res.hits.tri)
+    attrs = np.asarray(res.attrs)
+    hit = tri >= 0
+    assert hit.sum() > 100
+    idx = sd.indices[tri[hit]]
+    np.testing.assert_allclose(attrs[hit, 0:3], sd.normals[idx[:, 0]], atol=1e-5)
+    np.testing.assert_allclose(attrs[hit, 3:6], sd.normals[idx[:, 1]], atol=1e-5)
+    np.testing.assert_allclose(attrs[hit, 6:9], sd.normals[idx[:, 2]], atol=1e-5)
+    np.testing.assert_allclose(attrs[hit, 9:12],
+                               sd.triangle_normals[tri[hit]], atol=1e-5)
+    np.testing.assert_allclose(attrs[hit, 18],
+                               sd.triangle_materials[tri[hit]].astype(np.float32),
+                               atol=0)
+
+
+def test_mxu_active_mask(scenes):
+    sd, ts, cs = scenes
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([0.0, 5.0, 0.0]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    rays = make_rays(o, d, tmin=0.0)
+    active = jnp.arange(n) % 2 == 0
+    h = trace_mxu(cs, rays, active=active, tile=512).hits
+    tri = np.asarray(h.tri)
+    assert np.all(tri[0::2] >= 0)
+    assert np.all(tri[1::2] == INVALID_TRIANGLE)
+
+
+def test_mxu_tmin_tmax(scenes, rng):
+    sd, ts, cs = scenes
+    n = 1024
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 5, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=1.0, tmax=4.0)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    h_mxu = trace_mxu(cs, rays, tile=512).hits
+    t = np.asarray(h_mxu.t)
+    hit = np.asarray(h_mxu.tri) >= 0
+    assert np.all(t[hit] > 1.0 - 1e-6)
+    assert np.all(t[hit] <= 4.0 + 1e-5)
+    assert_hits_match(h_ref, h_mxu, rays)
