@@ -3,20 +3,20 @@ multi-chip sharding tests run anywhere (the analog of the reference's
 ability to run with any backend disabled, main.cpp:289-302)."""
 
 import os
-import sys
 
-# The container's sitecustomize initializes the axon TPU backend at
-# interpreter start, so env tweaks inside conftest come too late: re-exec
-# pytest with a clean CPU environment (8 virtual devices) when needed.
-if os.environ.get("RAYACCEL_TEST_EXEC") != "1":
-    env = dict(os.environ)
-    env["RAYACCEL_TEST_EXEC"] = "1"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+# The container's sitecustomize may initialize a TPU backend at interpreter
+# start; reset JAX onto a virtual 8-device CPU backend for the tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:  # pragma: no cover - fallback for newer jax
+    import jax._src.xla_bridge as _xb
+    _xb._clear_backends()
+if jax.config.jax_num_cpu_devices < 8:
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
