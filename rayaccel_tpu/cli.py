@@ -1,0 +1,136 @@
+"""Command-line renderer.
+
+Role of the reference demo app shell (reference main.cpp:284-386): flag
+parsing, engine selection, scene loading, the render loop with Mrays/s
+reporting, and image presentation. The GLUT window becomes PNG/PFM output
+(no display on a TPU host); the three reference flags map as:
+
+    --whitted            -> --whitted              (main.cpp:290)
+    --no-gpu             -> --backend xla          (disable the throughput
+                            engine; main.cpp:293)
+    --no-cpu-tracing     -> --backend mxu          (force the throughput
+                            engine only; main.cpp:296)
+
+Usage::
+
+    python -m rayaccel_tpu.cli --scene battlefield.bin --spp 16 --out out.png
+    python -m rayaccel_tpu.cli --synthetic battlefield --whitted --out w.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rayaccel_tpu",
+        description="TPU-native wavefront ray tracer (RayAccelerator capabilities)")
+    p.add_argument("--scene", help="scene file in the reference binary format "
+                                   "(main.cpp:117-191)")
+    p.add_argument("--synthetic", choices=["test", "battlefield"],
+                   help="generate a synthetic scene instead of loading one")
+    p.add_argument("--whitted", action="store_true",
+                   help="use the Whitted renderer (reference --whitted)")
+    p.add_argument("--no-gpu", dest="no_gpu", action="store_true",
+                   help="disable the MXU throughput engine; use the lockstep "
+                        "BVH backend (reference --no-gpu)")
+    p.add_argument("--no-cpu-tracing", dest="no_cpu", action="store_true",
+                   help="force the MXU throughput engine (reference "
+                        "--no-cpu-tracing)")
+    p.add_argument("--backend", choices=["mxu", "xla"], default=None,
+                   help="explicit traversal backend")
+    p.add_argument("--spp", type=int, default=4, help="samples per pixel")
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--wave-size", type=int, default=128 * 128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="out.png", help=".png or .pfm output")
+    p.add_argument("--checkpoint", help="save/resume accumulation state here")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.no_gpu and args.no_cpu:
+        # Mirrors the reference's conflicting-flag check (main.cpp:304-307).
+        print("Conflicting arguments: --no-gpu and --no-cpu-tracing.",
+              file=sys.stderr)
+        return 1
+
+    import rayaccel_tpu as racc
+    from rayaccel_tpu.scene import loader
+    from rayaccel_tpu.utils import image as img
+    from rayaccel_tpu.utils.stats import FrameTimer, RenderStats
+
+    if args.scene:
+        scene_data = loader.load_scene(args.scene)
+    elif args.synthetic == "battlefield":
+        scene_data = loader.make_battlefield_like()
+    else:
+        scene_data = loader.make_test_scene(viewport=(256, 192))
+
+    if args.max_depth is not None:
+        scene_data.max_depth = args.max_depth
+    if args.width:
+        scene_data.viewport_width = args.width
+    if args.height:
+        scene_data.viewport_height = args.height
+
+    backend = args.backend or ("xla" if args.no_gpu else "mxu")
+    racc.init()
+    ctx = racc.create_context(racc.Configuration(
+        backend=backend, wave_size=args.wave_size))
+
+    cam = racc.Camera.look_at(
+        scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,
+        scene_data.cam_fov, scene_data.viewport_width,
+        scene_data.viewport_height)
+
+    cls = racc.WhittedRenderer if args.whitted else racc.PathTracingRenderer
+    if args.whitted:
+        scene_data.max_depth = 8  # main.cpp:346
+    renderer = cls(ctx, cam, scene_data)
+
+    base_key = jax.random.PRNGKey(args.seed)
+    if args.checkpoint:
+        import os
+        from rayaccel_tpu.utils.checkpoint import load_checkpoint
+        if os.path.exists(args.checkpoint + ".json"):
+            load_checkpoint(args.checkpoint, renderer)
+            if not args.quiet:
+                print(f"resumed at spp={renderer.spp}")
+
+    stats = RenderStats()
+    while renderer.spp < args.spp:
+        key = jax.random.fold_in(base_key, renderer.spp)
+        with FrameTimer(stats, renderer) as ft:
+            ft.run(key)
+        if not args.quiet:
+            print(stats.format_line())
+
+    if args.checkpoint:
+        from rayaccel_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, renderer, base_key)
+
+    hdr = renderer.image()
+    if args.out.endswith(".pfm"):
+        img.write_pfm(args.out, hdr.astype(np.float32))
+    else:
+        img.write_png(args.out, img.tonemap(hdr, 1))
+    if not args.quiet:
+        s = stats.summary()
+        print(f"wrote {args.out}: {renderer.spp} spp, "
+              f"{s['rays_traced_total']/1e6:.1f}M rays, "
+              f"{s['mrays_per_s_sliding']:.1f} Mrays/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""CLI, stats, checkpoint and image-IO tests (reference app-shell parity:
+flags main.cpp:289-307, Mrays/s reporting main.cpp:208-231)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+import rayaccel_tpu as racc
+from rayaccel_tpu.cli import main as cli_main
+from rayaccel_tpu.scene.loader import make_test_scene
+from rayaccel_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from rayaccel_tpu.utils.image import rmse, tonemap, write_pfm, write_png
+from rayaccel_tpu.utils.stats import RenderStats
+
+
+def test_cli_conflicting_flags(capsys):
+    assert cli_main(["--no-gpu", "--no-cpu-tracing"]) == 1
+
+
+def test_cli_renders_png(tmp_path):
+    out = str(tmp_path / "t.png")
+    rc = cli_main(["--synthetic", "test", "--spp", "1", "--quiet",
+                   "--width", "64", "--height", "64", "--max-depth", "1",
+                   "--wave-size", "4096", "--out", out])
+    assert rc == 0
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(data) > 500
+
+
+def test_cli_whitted_xla_backend(tmp_path):
+    out = str(tmp_path / "w.pfm")
+    rc = cli_main(["--synthetic", "test", "--whitted", "--no-gpu",
+                   "--spp", "1", "--quiet", "--width", "64", "--height", "64",
+                   "--wave-size", "4096", "--out", out])
+    assert rc == 0
+    with open(out, "rb") as f:
+        assert f.readline().strip() == b"PF"
+
+
+def test_scene_file_roundtrip_via_cli(tmp_path):
+    from rayaccel_tpu.scene.loader import save_scene
+    s = make_test_scene(viewport=(64, 64))
+    path = str(tmp_path / "scene.bin")
+    save_scene(path, s)
+    out = str(tmp_path / "s.png")
+    rc = cli_main(["--scene", path, "--spp", "1", "--quiet",
+                   "--wave-size", "4096", "--max-depth", "1", "--out", out])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    s = make_test_scene(viewport=(64, 64), max_depth=1)
+    ctx = racc.create_context(racc.Configuration(wave_size=4096))
+    cam = racc.Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov, 64, 64)
+    r = racc.PathTracingRenderer(ctx, cam, s)
+    r.render_frame(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, r, jax.random.PRNGKey(0))
+
+    r2 = racc.PathTracingRenderer(ctx, cam, s)
+    key = load_checkpoint(ckpt + ".npz", r2)
+    assert r2.spp == 1
+    assert key is not None
+    np.testing.assert_array_equal(np.asarray(r2.frame_buffer),
+                                  np.asarray(r.frame_buffer))
+    # Continuing from the checkpoint == continuing the original.
+    r.render_frame(jax.random.PRNGKey(1))
+    r2.render_frame(jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(r2.frame_buffer),
+                                  np.asarray(r.frame_buffer))
+
+
+def test_checkpoint_rejects_mismatch(tmp_path):
+    s = make_test_scene(viewport=(64, 64), max_depth=1)
+    ctx = racc.create_context(racc.Configuration(wave_size=4096))
+    cam = racc.Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov, 64, 64)
+    r = racc.PathTracingRenderer(ctx, cam, s)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, r)
+    s2 = make_test_scene(viewport=(128, 128), max_depth=1)
+    cam2 = racc.Camera.look_at(s2.cam_origin, s2.cam_dir, s2.cam_up,
+                               s2.cam_fov, 128, 128)
+    r2 = racc.PathTracingRenderer(ctx, cam2, s2)
+    with pytest.raises(ValueError):
+        load_checkpoint(ckpt + ".npz", r2)
+
+
+def test_stats_sliding_window():
+    st = RenderStats()
+    for i in range(40):
+        st.record(1_000_000, 0.01, i + 1)
+    assert st.frames == 40
+    assert abs(st.sliding_mrays_per_s - 100.0) < 1e-6
+    assert abs(st.last.mrays_per_s - 100.0) < 1e-6
+    line = st.format_line()
+    assert "instant" in line and "sliding" in line
+    s = st.summary()
+    assert s["rays_traced_total"] == 40_000_000
+
+
+def test_tonemap_divides_by_spp():
+    hdr = np.full((2, 2, 3), 2.0, np.float32)
+    out = tonemap(hdr, spp=4)
+    assert out.dtype == np.uint8
+    assert np.all(out == int(2.0 * 255 / 4))
+
+
+def test_rmse_helper():
+    a = np.zeros((4, 4, 3))
+    b = np.ones((4, 4, 3)) * 2
+    assert abs(rmse(a, b) - 2.0) < 1e-9
