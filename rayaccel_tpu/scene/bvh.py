@@ -63,11 +63,24 @@ def _half_area(bbmin: np.ndarray, bbmax: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(vertices: np.ndarray, indices: np.ndarray,
-              max_leaf: int = MAX_LEAF_TRIS) -> Bvh2:
-    """Full-sweep SAH build. ``max_leaf`` caps leaf size (<=127)."""
+              max_leaf: int = MAX_LEAF_TRIS, use_native: bool = True) -> Bvh2:
+    """Full-sweep SAH build. ``max_leaf`` caps leaf size (<=127).
+
+    Uses the native C++ builder (scene/native/) when available — the host
+    runtime tier, role of the reference's Bvh2.cpp + ThreadPool.cpp — and
+    falls back to this NumPy implementation (which doubles as the golden
+    reference for the native one)."""
     T = indices.shape[0]
     assert T >= 1
     max_leaf = min(max_leaf, MAX_LEAF_TRIS)
+
+    if use_native:
+        from rayaccel_tpu.scene.native import build_bvh_native
+        res = build_bvh_native(vertices, indices, max_leaf)
+        if res is not None:
+            kind, first, last, parent, bbmin, bbmax, prim_order = res
+            return Bvh2(kind=kind, first=first, last=last, parent=parent,
+                        bbmin=bbmin, bbmax=bbmax, prim_order=prim_order)
 
     tmin, tmax = triangle_bounds(vertices, indices)
     centroid = (tmin + tmax) * 0.5

@@ -58,13 +58,25 @@ def _pair_row(p0, p1, p2, p3) -> np.ndarray:
     return np.concatenate([p0 - p1, p2 - p0, p3 - p0, p0]).astype(np.float32)
 
 
-def build_pairs(bvh: Bvh2, vertices: np.ndarray, indices: np.ndarray) -> PairedScene:
+def build_pairs(bvh: Bvh2, vertices: np.ndarray, indices: np.ndarray,
+                use_native: bool = True) -> PairedScene:
     """Pair triangles leaf by leaf (Scene.cpp:237-261) and rewrite each
-    leaf's primitive range to refer to pair indices."""
+    leaf's primitive range to refer to pair indices. Uses the native C++
+    pairing when available."""
     pairs, pair_tri = [], []
     n_nodes = bvh.node_count
     leaf_first = np.zeros(n_nodes, np.int64)
     leaf_last = np.zeros(n_nodes, np.int64)
+
+    if use_native:
+        from rayaccel_tpu.scene.native import native_available
+        from rayaccel_tpu.scene.native.build import pair_all_native
+        if native_available():
+            res = pair_all_native(vertices, indices, bvh)
+            if res is not None:
+                rows, remap, lf, ll = res
+                return PairedScene(pairs=rows, pair_tri=remap,
+                                   leaf_first=lf, leaf_last=ll)
 
     for node in range(n_nodes):
         if bvh.kind[node] != KIND_LEAF:
