@@ -70,7 +70,9 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
                   tile: int = 512, stack_depth: int = 48):
     """Trace one wave of pixels to completion (all bounces).
 
-    Returns (radiance, rays_traced): per-lane accumulated radiance.
+    Returns (radiance, rays_traced, dropped=0): per-lane accumulated
+    radiance (the dropped counter exists for wave-contract uniformity
+    with the Whitted integrator).
     """
     R = x.shape[0]
     rays = generate_pixel_rays(cam_arrays, x, y, key=jax.random.fold_in(key, 0))
@@ -131,7 +133,7 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     out = jax.lax.while_loop(cond, body, state)
     env_rgb = sample_environment_onehot(env, out["miss_d"])
     radiance = out["miss_w"] * env_rgb
-    return radiance, out["traced"]
+    return radiance, out["traced"], out["traced"] * 0
 
 
 class PathTracingRenderer(TiledRenderer):
@@ -160,6 +162,10 @@ class PathTracingRenderer(TiledRenderer):
             environment = create_environment(env_px, env_px.shape[1], env_px.shape[0])
         self.environment = environment
         self.max_depth = int(scene_data.max_depth)
+        if context.mesh is not None:
+            from rayaccel_tpu.parallel.mesh import replicate_scene
+            self.scene = replicate_scene(context.mesh, self.scene)
+            self.environment = replicate_scene(context.mesh, self.environment)
 
     def _build_wave_fn(self):
         cam_arrays = self.camera.as_arrays()
@@ -167,7 +173,10 @@ class PathTracingRenderer(TiledRenderer):
         max_depth = self.max_depth
         backend = self.backend
         stack_depth = self.context.configuration.traversal_stack_depth
-        tile = self.context.configuration.trace_block if backend == "mxu" else 512
+        shard_lanes = self.wave_size
+        if self.context.mesh is not None:
+            shard_lanes //= self.context.mesh.devices.size
+        tile = min(self.context.configuration.trace_block, shard_lanes)
 
         def wave_fn(x, y, alive, key):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,

@@ -31,6 +31,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
 from rayaccel_tpu.context import Context
 from rayaccel_tpu.types import Stats
 
@@ -93,6 +98,7 @@ class TiledRenderer:
             ))
 
         self.spp = 0
+        self.dropped = 0
         self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
         self._wave_fn = None  # built lazily by subclass
         self._accum = jax.jit(
@@ -126,17 +132,45 @@ class TiledRenderer:
         """Render one progressive sample over the full viewport: the analog
         of one racc::render frame barrier (RayAccelerator.cpp:738-759)."""
         if self._wave_fn is None:
-            self._wave_fn = self._build_wave_fn()
+            fn = self._build_wave_fn()
+            if self.context.mesh is not None:
+                fn = self._shard_wave_fn(fn)
+            self._wave_fn = fn
         traced = jnp.int32(0)
+        dropped = jnp.int32(0)
         for w, (x, y, alive) in enumerate(self._wave_inputs):
             wave_key = jax.random.fold_in(key, w)
-            radiance, n = self._wave_fn(x, y, alive, wave_key)
+            radiance, n, d = self._wave_fn(x, y, alive, wave_key)
             self._fb = self._accum(self._fb, radiance,
                                    jnp.int32(w * self.wave_size))
             traced = traced + n
+            dropped = dropped + d
         self.spp += 1
+        self.dropped += int(dropped)
         self.end_frame()
         return Stats(rays_traced=traced)
+
+    def _shard_wave_fn(self, inner):
+        """Run a wave tile-parallel over the context mesh: rays and lane
+        radiance shard over the 'tiles' axis, the scene is replicated (it
+        was placed with parallel.mesh.replicate_scene), the ray counters
+        psum over ICI — the multi-chip analog of the reference's atomic
+        tile counter feeding identical workers (TiledRenderer.cpp:55-67).
+        Each chip folds its axis index into the RNG key so samples
+        decorrelate across shards."""
+        mesh = self.context.mesh
+
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("tiles"), P("tiles"), P("tiles"), P()),
+                 out_specs=(P("tiles"), P(), P()))
+        def fn(x, y, alive, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
+            radiance, traced, dropped = inner(x, y, alive, key)
+            return (radiance, jax.lax.psum(traced, "tiles"),
+                    jax.lax.psum(dropped, "tiles"))
+
+        return fn
 
     def end_frame(self):
         """Hook mirroring TiledRenderer::endFrame (TiledRenderer.cpp:62-64)."""

@@ -249,7 +249,10 @@ class WhittedRenderer(TiledRenderer):
         self.environment = environment
         # main.cpp:346 forces maxDepth=8 for the Whitted demo.
         self.max_depth = int(scene_data.max_depth)
-        self.dropped = 0
+        if context.mesh is not None:
+            from rayaccel_tpu.parallel.mesh import replicate_scene
+            self.scene = replicate_scene(context.mesh, self.scene)
+            self.environment = replicate_scene(context.mesh, self.environment)
 
     def _build_wave_fn(self):
         cam_arrays = self.camera.as_arrays()
@@ -259,14 +262,15 @@ class WhittedRenderer(TiledRenderer):
                          max_depth + 1)
         stack_depth = self.context.configuration.traversal_stack_depth
         backend = self.backend
-        tile = self.context.configuration.trace_block
+        shard_lanes = self.wave_size
+        if self.context.mesh is not None:
+            shard_lanes //= self.context.mesh.devices.size
+        tile = min(self.context.configuration.trace_block, shard_lanes)
 
         def wave_fn(x, y, alive, key):
-            radiance, traced, dropped = whitted_trace_wave(
+            return whitted_trace_wave(
                 scene, env, cam_arrays, x, y, alive, key,
                 max_depth, stack_size, backend=backend, tile=tile,
                 stack_depth=stack_depth)
-            self.dropped += int(dropped)
-            return radiance, traced
 
         return wave_fn
