@@ -64,6 +64,83 @@ def _ray_features(o, d):
 
 
 @partial(jax.jit, static_argnames=("tile",))
+def trace_occlusion_mxu(cs: ClusterScene, rays: Rays,
+                        active: jnp.ndarray | None = None,
+                        tile: int = 512) -> jnp.ndarray:
+    """Any-hit (occlusion/shadow) query: True where some triangle blocks
+    the ray within [tmin, tmax]. The role of an RTC_OCCLUDED-style query —
+    the reference exposes only closest-hit (Scene.h:25), but its streaming
+    architecture is routinely used for shadow rays (BASELINE.md config 1),
+    so the capability is first-class here. Cheaper than trace_mxu: no
+    closest-t race, no attribute fetch, and a tile stops at its first
+    fully-occluded iteration.
+    """
+    R = rays.o.shape[0]
+    assert R % tile == 0
+    T = R // tile
+    C = cs.cluster_size
+    n_c = cs.n_clusters
+
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    tmin = rays.tmin
+    tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
+
+    t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
+    t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
+    for a in range(3):
+        tn = (cs.cl_bbmin[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        tf = (cs.cl_bbmax[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    entry = jnp.where(t0 <= t1, t0, _INF)
+    tile_entry = entry.reshape(T, tile, n_c).min(axis=1)
+    order = jnp.argsort(tile_entry, axis=1)
+    count = jnp.sum((tile_entry < _INF).astype(jnp.int32), axis=1)
+    max_count = jnp.max(count)
+
+    F = _ray_features(o, d).reshape(T, tile, RAY_FEATURES)
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    tmin_t = tmin.reshape(T, tile)
+    tmax_t = tmax_eff.reshape(T, tile)
+
+    # Derived-from-input init (shard_map varying-axes, see trace_mxu).
+    state = dict(k=jnp.int32(0), occluded=tmax_t < -1e30)
+
+    def cond(s):
+        live = (s["k"] < count) & jnp.any(~s["occluded"], axis=1)
+        return (s["k"] < max_count) & jnp.any(live)
+
+    def body(s):
+        k = s["k"]
+        c_t = jax.lax.dynamic_slice(order, (0, k), (T, 1))[:, 0]
+        live = (k < count) & jnp.any(~s["occluded"], axis=1)
+        c_t = jnp.where(live, c_t, 0)
+        G_blk = jnp.take(G3, c_t, axis=0)
+        S = jax.lax.dot_general(F, G_blk, (((2,), (1,)), ((0,), (0,))),
+                                precision=_HP)
+        det = S[:, :, 0 * C:1 * C]
+        u_n = S[:, :, 1 * C:2 * C]
+        v_n = S[:, :, 2 * C:3 * C]
+        t_n = S[:, :, 3 * C:4 * C]
+        sgn = jnp.where(det < 0, -1.0, 1.0)
+        ad = jnp.abs(det)
+        u = u_n * sgn
+        v = v_n * sgn
+        t = t_n * sgn
+        valid = ((ad > 0) & (u >= 0) & (v >= 0) & (u + v <= ad)
+                 & (t > ad * tmin_t[:, :, None])
+                 & (t <= ad * tmax_t[:, :, None]))
+        hit_any = jnp.any(valid, axis=2) & live[:, None]
+        return dict(k=k + 1, occluded=s["occluded"] | hit_any)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["occluded"].reshape(R)
+
+
+@partial(jax.jit, static_argnames=("tile",))
 def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
               active: jnp.ndarray | None = None, tile: int = 512) -> MxuHits:
     """Trace a wave. R must be a multiple of ``tile``."""

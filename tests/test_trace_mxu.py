@@ -101,3 +101,35 @@ def test_mxu_tmin_tmax(scenes, rng):
     assert np.all(t[hit] > 1.0 - 1e-6)
     assert np.all(t[hit] <= 4.0 + 1e-5)
     assert_hits_match(h_ref, h_mxu, rays)
+
+
+def test_occlusion_matches_closest_hit(scenes, rng):
+    """Any-hit occlusion query agrees with 'closest hit exists'
+    (an RTC_OCCLUDED-style query; BASELINE.md config 1 shadow rays)."""
+    from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+    sd, ts, cs = scenes
+    n = 2048
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=20.0)
+    occ = np.asarray(trace_occlusion_mxu(cs, rays, tile=512))
+    hit = np.asarray(trace_mxu(cs, rays, tile=512).hits.tri) >= 0
+    np.testing.assert_array_equal(occ, hit)
+
+
+def test_occlusion_respects_active_and_tmax(scenes):
+    from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+    sd, ts, cs = scenes
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([0.0, 5.0, 0.0]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    rays = make_rays(o, d, tmin=0.0, tmax=100.0)
+    active = jnp.arange(n) % 2 == 0
+    occ = np.asarray(trace_occlusion_mxu(cs, rays, active=active, tile=512))
+    assert occ[0::2].all() and not occ[1::2].any()
+    # tmax shorter than the ground distance: nothing occludes.
+    rays2 = make_rays(o, d, tmin=0.0, tmax=1.0)
+    occ2 = np.asarray(trace_occlusion_mxu(cs, rays2, tile=512))
+    assert not occ2.any()
