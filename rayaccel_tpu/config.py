@@ -54,6 +54,9 @@ class Configuration:
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,
     # Kernels.h:166). Kept configurable because it scales wavefront state.
     traversal_stack_depth: int = 48
+    # Re-sort lane state between bounces by spatial coherence (the TPU
+    # form of the reference's ray-stream regrouping, SURVEY.md §7).
+    regroup: bool = True
     # Maximum path depth for the Whitted ray-tree spill stack, analog of
     # maxShadingDepth=8 pre-sizing loopData 8*maxRaysInFlight
     # (WhittedRenderer.cpp:47-50).

@@ -60,34 +60,42 @@ def _angular_uv(env: Environment, d: jnp.ndarray):
 
 
 def sample_environment_onehot(env: Environment, d: jnp.ndarray) -> jnp.ndarray:
-    """Gather-free probe sampling: bilinear taps as a sparse one-hot weight
-    matrix contracted against the probe on the MXU. TPU per-lane gathers
-    run at ~100M/s, so the 4-tap bilinear gather costs ~40ns/ray; the
-    one-hot matmul costs ~1ns/ray for probes up to a few thousand texels.
-    Falls back to the gather path for large probes.
+    """Gather-free probe sampling. Bilinear filtering is separable, so the
+    4-tap lookup becomes a bilinear form over small one-hot weight rows:
+
+        rgb_r = wy_r^T  P  wx_r   =>   einsum('rh,hwc,rw->rc')
+
+    i.e. one (R,H)@(H,W*3) matmul and a (R,W)-weighted reduce — no per-ray
+    gathers (TPU gathers run ~100M rows/s; these contractions are ~1ns/ray
+    for typical probe sizes). Falls back to the gather path for probes
+    too large for the dense contraction.
     """
     w, h = env.width, env.height
-    n_tex = w * h
-    if n_tex > 4096:
+    if w * h > 512 * 256:
         return sample_environment(env, d)
 
+    R = d.shape[0]
     fx, fy = _angular_uv(env, d)
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    tx = (fx - x0)[:, None]
-    ty = (fy - y0)[:, None]
+    tx = fx - x0
+    ty = fy - y0
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
 
-    texel = jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], n_tex), 1)
-    wmat = ((texel == (y0i * w + x0i)[:, None]) * (1 - tx) * (1 - ty)
-            + (texel == (y0i * w + x1i)[:, None]) * tx * (1 - ty)
-            + (texel == (y1i * w + x0i)[:, None]) * (1 - tx) * ty
-            + (texel == (y1i * w + x1i)[:, None]) * tx * ty)
-    flat = env.pixels.reshape(n_tex, 3)
-    return jax.lax.dot(wmat, flat, precision=jax.lax.Precision.HIGHEST)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, w), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, h), 1)
+    wx = ((cols == x0i[:, None]) * (1 - tx)[:, None]
+          + (cols == x1i[:, None]) * tx[:, None])        # (R, W)
+    wy = ((rows == y0i[:, None]) * (1 - ty)[:, None]
+          + (rows == y1i[:, None]) * ty[:, None])        # (R, H)
+
+    hp = jax.lax.Precision.HIGHEST
+    rowmix = jax.lax.dot(wy, env.pixels.reshape(h, w * 3),
+                         precision=hp).reshape(R, w, 3)   # (R, W, 3)
+    return jnp.einsum("rw,rwc->rc", wx, rowmix, precision=hp)
 
 
 def sample_environment(env: Environment, d: jnp.ndarray) -> jnp.ndarray:

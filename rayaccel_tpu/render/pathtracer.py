@@ -39,6 +39,8 @@ from rayaccel_tpu.environment import (Environment, create_environment,
 from rayaccel_tpu.materials import sample_reflective_diffuse
 from rayaccel_tpu.ops.trace import trace_bvh
 from rayaccel_tpu.ops.trace_mxu import trace_mxu
+from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+from rayaccel_tpu.render.regroup import coherence_key, regroup_state
 from rayaccel_tpu.render.shading import (interpolate_surface, merge_rays,
                                          spawn_secondary, surface_from_attrs)
 from rayaccel_tpu.render.tiled import TiledRenderer
@@ -63,49 +65,69 @@ def pt_shade(surf, rays, weight, key):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
-                                   "stack_depth"))
+                                   "stack_depth", "regroup"))
 def pt_trace_wave(scene, env: Environment, cam_arrays,
                   x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                   key: jax.Array, max_depth: int, backend: str = "mxu",
-                  tile: int = 512, stack_depth: int = 48):
+                  tile: int = 512, stack_depth: int = 48,
+                  regroup: bool = True):
     """Trace one wave of pixels to completion (all bounces).
 
-    Returns (radiance, rays_traced, dropped=0): per-lane accumulated
-    radiance (the dropped counter exists for wave-contract uniformity
-    with the Whitted integrator).
+    Returns (radiance, rays_traced, dropped): per-lane accumulated
+    radiance; ``dropped`` counts work-queue overflow items from the
+    pallas backend (0 elsewhere).
+
+    With ``regroup`` (cluster backends only), the whole lane state is
+    re-sorted between bounces by a spatial coherence key (dead lanes
+    last) — the TPU form of the reference's ray-stream regrouping
+    (SURVEY.md §7); lanes carry their original index for the final
+    framebuffer unsort.
     """
     R = x.shape[0]
     rays = generate_pixel_rays(cam_arrays, x, y, key=jax.random.fold_in(key, 0))
+    do_regroup = regroup and backend in ("mxu", "pallas")
+    if do_regroup:
+        bmin = jnp.min(scene.cl_bbmin, axis=0)
+        bext = jnp.max(scene.cl_bbmax, axis=0) - bmin
+        binv = 1.0 / jnp.maximum(bext, 1e-20)
     # Carry inits derive from ray/pixel inputs (shard_map varying-axes).
     state = dict(
         rays=rays,
         weight=jnp.ones_like(rays.o),
         depth=x * 0,
         alive=alive0,
+        lane=x * 0 + jnp.arange(R, dtype=jnp.int32),
         miss_d=rays.d,
         miss_w=rays.o * 0.0,
         traced=jnp.sum(x) * 0,
+        dropped=jnp.sum(x) * 0,
         bounce=jnp.int32(0),
     )
 
     def trace_and_surface(rays, alive):
+        if backend == "pallas":
+            res, overflow = trace_mxu_pallas(scene, rays, env=None,
+                                             active=alive, tile=tile)
+            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                      res.hits)
+            return res.hits, surf, overflow
         if backend == "mxu":
             res = trace_mxu(scene, rays, env=None, active=alive, tile=tile)
             surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
                                       res.hits)
-            return res.hits, surf
+            return res.hits, surf, jnp.int32(0)
         hits = trace_bvh(scene, rays, env=None, active=alive,
                          stack_depth=stack_depth)
         surf = interpolate_surface(scene, rays, hits,
                                    alive & (hits.tri >= 0))
-        return hits, surf
+        return hits, surf, jnp.int32(0)
 
     def cond(s):
         return jnp.any(s["alive"])
 
     def body(s):
         rays, alive = s["rays"], s["alive"]
-        hits, surf = trace_and_surface(rays, alive)
+        hits, surf, overflow = trace_and_surface(rays, alive)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
         # Terminal miss: remember direction+weight; the env probe lookup is
@@ -119,21 +141,39 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
         skey = jax.random.fold_in(key, s["bounce"] + 1)
         new_rays, new_weight, ok = pt_shade(surf, rays, s["weight"], skey)
         alive = active & ok
+        rays = merge_rays(alive, new_rays, rays)
+        weight = jnp.where(alive[:, None], new_weight, s["weight"])
+        depth = s["depth"] + active.astype(jnp.int32)
+        lane = s["lane"]
+
+        if do_regroup:
+            k = coherence_key(rays, alive, bmin, binv)
+            rays, (weight, depth, alive, lane, miss_d, miss_w) = \
+                regroup_state(k, rays, [weight, depth, alive, lane,
+                                        miss_d, miss_w])
+
         return dict(
-            rays=merge_rays(alive, new_rays, rays),
-            weight=jnp.where(alive[:, None], new_weight, s["weight"]),
-            depth=s["depth"] + active.astype(jnp.int32),
+            rays=rays,
+            weight=weight,
+            depth=depth,
             alive=alive,
+            lane=lane,
             miss_d=miss_d,
             miss_w=miss_w,
             traced=traced,
+            dropped=s["dropped"] + overflow,
             bounce=s["bounce"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, state)
     env_rgb = sample_environment_onehot(env, out["miss_d"])
     radiance = out["miss_w"] * env_rgb
-    return radiance, out["traced"], out["traced"] * 0
+    if do_regroup:
+        # Unsort back to original lane order for the framebuffer write.
+        _, rcols = regroup_state(out["lane"],
+                                 out["rays"], [radiance])
+        radiance = rcols[0]
+    return radiance, out["traced"], out["dropped"]
 
 
 class PathTracingRenderer(TiledRenderer):
@@ -149,10 +189,11 @@ class PathTracingRenderer(TiledRenderer):
         if tpu_scene is not None:
             self.scene = tpu_scene
             if isinstance(tpu_scene, ClusterScene):
-                self.backend = "mxu"
-            elif self.backend == "mxu":
+                if self.backend not in ("mxu", "pallas"):
+                    self.backend = "mxu"
+            elif self.backend in ("mxu", "pallas"):
                 self.backend = "xla"
-        elif self.backend == "mxu":
+        elif self.backend in ("mxu", "pallas"):
             self.scene = compile_clusters(scene_data)
         else:
             self.scene = compile_scene(scene_data)
@@ -178,9 +219,11 @@ class PathTracingRenderer(TiledRenderer):
             shard_lanes //= self.context.mesh.devices.size
         tile = min(self.context.configuration.trace_block, shard_lanes)
 
+        regroup = self.context.configuration.regroup
+
         def wave_fn(x, y, alive, key):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
                                  max_depth, backend=backend, tile=tile,
-                                 stack_depth=stack_depth)
+                                 stack_depth=stack_depth, regroup=regroup)
 
         return wave_fn

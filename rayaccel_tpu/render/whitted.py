@@ -125,6 +125,13 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
     level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
 
     def trace_and_surface(rays, alive):
+        if backend == "pallas":
+            from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+            res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
+                                      tile=tile)
+            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                      res.hits)
+            return res.hits, surf
         if backend == "mxu":
             res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
             surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
@@ -235,10 +242,11 @@ class WhittedRenderer(TiledRenderer):
         if tpu_scene is not None:
             self.scene = tpu_scene
             if isinstance(tpu_scene, ClusterScene):
-                self.backend = "mxu"
-            elif self.backend == "mxu":
+                if self.backend not in ("mxu", "pallas"):
+                    self.backend = "mxu"
+            elif self.backend in ("mxu", "pallas"):
                 self.backend = "xla"
-        elif self.backend == "mxu":
+        elif self.backend in ("mxu", "pallas"):
             self.scene = compile_clusters(scene_data)
         else:
             self.scene = compile_scene(scene_data)

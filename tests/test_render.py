@@ -14,8 +14,8 @@ from rayaccel_tpu.ops.bruteforce import trace_bruteforce
 from rayaccel_tpu.types import INVALID_TRIANGLE
 
 
-def make_context(backend, wave_size=4096):
-    cfg = racc.Configuration(wave_size=wave_size, backend=backend)
+def make_context(backend, wave_size=4096, **kw):
+    cfg = racc.Configuration(wave_size=wave_size, backend=backend, **kw)
     return racc.create_context(cfg)
 
 
@@ -97,12 +97,45 @@ def test_pt_backends_agree(small_scene):
     s = small_scene
     imgs = {}
     for backend in ("mxu", "xla"):
-        r = racc.PathTracingRenderer(make_context(backend), cam_of(s), s)
+        # regroup permutes the RNG-to-path assignment; disable it so the
+        # engines see identical sample sequences.
+        r = racc.PathTracingRenderer(make_context(backend, regroup=False),
+                                     cam_of(s), s)
         for i in range(4):
             r.render_frame(jax.random.PRNGKey(i))
         imgs[backend] = r.image()
     rmse = np.sqrt(np.mean((imgs["mxu"] - imgs["xla"]) ** 2))
     assert rmse < 1e-3, f"backend images diverge: rmse={rmse}"
+
+
+def test_pt_regroup_unbiased(small_scene):
+    """Between-bounce ray regrouping must not change the integrand: the
+    regrouped render converges to the non-regrouped one."""
+    s = small_scene
+    imgs = {}
+    for rg in (False, True):
+        r = racc.PathTracingRenderer(make_context("mxu", regroup=rg),
+                                     cam_of(s), s)
+        for i in range(16):
+            r.render_frame(jax.random.PRNGKey(100 + i))
+        imgs[rg] = r.image()
+    rmse = np.sqrt(np.mean((imgs[True] - imgs[False]) ** 2))
+    assert rmse < 0.04, f"regroup changes the image: rmse={rmse}"
+
+
+def test_pt_pallas_backend_matches_mxu(small_scene):
+    """The Pallas work-queue kernel must agree with the XLA cluster
+    tracer bit-for-bit given identical sampling."""
+    s = small_scene
+    imgs = {}
+    for backend in ("mxu", "pallas"):
+        r = racc.PathTracingRenderer(make_context(backend, regroup=False),
+                                     cam_of(s), s)
+        for i in range(2):
+            r.render_frame(jax.random.PRNGKey(7 + i))
+        imgs[backend] = r.image()
+        assert r.dropped == 0
+    np.testing.assert_allclose(imgs["pallas"], imgs["mxu"], atol=1e-5)
 
 
 def test_pt_variance_decreases(small_scene):
