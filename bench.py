@@ -26,7 +26,7 @@ MAX_DEPTH = 2
 def main():
     scene_data = make_battlefield_like()
     scene_data.max_depth = MAX_DEPTH
-    cfg = racc.Configuration(backend="mxu", wave_size=128 * 128 * 4)
+    cfg = racc.Configuration(backend="pallas", wave_size=128 * 128 * 4)
     ctx = racc.create_context(cfg)
     cam = racc.Camera.look_at(
         scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,

@@ -94,7 +94,8 @@ class Camera:
 
 def generate_pixel_rays(cam_arrays, px: jnp.ndarray, py: jnp.ndarray,
                         key: jax.Array | None = None,
-                        tmin: float = 0.0, tmax: float = 1e6) -> Rays:
+                        tmin: float = 0.0, tmax: float = 1e6,
+                        jitter=None) -> Rays:
     """Generate jittered primary rays for a batch of pixel coordinates.
 
     Vectorized analog of generateTileRays (reference Camera.cpp:55-114):
@@ -109,7 +110,10 @@ def generate_pixel_rays(cam_arrays, px: jnp.ndarray, py: jnp.ndarray,
     origin, view, right, up = cam_arrays
     px = px.astype(jnp.float32)
     py = py.astype(jnp.float32)
-    if key is not None:
+    if jitter is not None:
+        px = px + jitter[0]
+        py = py + jitter[1]
+    elif key is not None:
         jit = jax.random.uniform(key, (2, px.shape[0]), jnp.float32)
         px = px + jit[0]
         py = py + jit[1]

@@ -54,6 +54,10 @@ class Configuration:
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,
     # Kernels.h:166). Kept configurable because it scales wavefront state.
     traversal_stack_depth: int = 48
+    # Pixel sampler: "uniform" matches the reference's per-call rand()
+    # jitter (Camera.cpp:58); "stratified" is progressive R2
+    # low-discrepancy sampling (BASELINE config 4).
+    sampler: str = "uniform"
     # Re-sort lane state between bounces by spatial coherence (the TPU
     # form of the reference's ray-stream regrouping, SURVEY.md §7).
     regroup: bool = True
@@ -67,6 +71,8 @@ class Configuration:
     def __post_init__(self):
         if self.backend not in ("mxu", "xla", "pallas", "bruteforce"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.sampler not in ("uniform", "stratified"):
+            raise ValueError(f"unknown sampler {self.sampler!r}")
         if self.backend == "pallas" and not self.allow_xla_tracing:
             # Mirrors the reference's conflicting-flags check (main.cpp:304).
             pass  # pallas-only is valid; the invalid combo is neither.

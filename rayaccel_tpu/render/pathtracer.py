@@ -65,12 +65,14 @@ def pt_shade(surf, rays, weight, key):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
-                                   "stack_depth", "regroup"))
+                                   "stack_depth", "regroup", "sampler"))
 def pt_trace_wave(scene, env: Environment, cam_arrays,
                   x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                   key: jax.Array, max_depth: int, backend: str = "mxu",
                   tile: int = 512, stack_depth: int = 48,
-                  regroup: bool = True):
+                  regroup: bool = True, sampler: str = "uniform",
+                  spp_index: jnp.ndarray | None = None,
+                  sampler_key: jax.Array | None = None):
     """Trace one wave of pixels to completion (all bounces).
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -84,7 +86,23 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     framebuffer unsort.
     """
     R = x.shape[0]
-    rays = generate_pixel_rays(cam_arrays, x, y, key=jax.random.fold_in(key, 0))
+    if sampler == "stratified":
+        # Low-discrepancy progressive jitter (BASELINE config 4): the R2
+        # sequence advanced per sample, Cranley-Patterson-rotated per
+        # pixel by a frame-independent random offset — stratified across
+        # spp where the reference reseeds rand() per call
+        # (PathTracingRenderer.cpp:102).
+        assert spp_index is not None and sampler_key is not None
+        rot = jax.random.uniform(sampler_key, (2, R), jnp.float32)
+        g = jnp.float32(0.7548776662466927)   # plastic-constant R2
+        g2 = jnp.float32(0.5698402909980532)
+        s_f = spp_index.astype(jnp.float32)
+        jx = jnp.mod(rot[0] + s_f * g, 1.0)
+        jy = jnp.mod(rot[1] + s_f * g2, 1.0)
+        rays = generate_pixel_rays(cam_arrays, x, y, jitter=(jx, jy))
+    else:
+        rays = generate_pixel_rays(cam_arrays, x, y,
+                                   key=jax.random.fold_in(key, 0))
     do_regroup = regroup and backend in ("mxu", "pallas")
     if do_regroup:
         bmin = jnp.min(scene.cl_bbmin, axis=0)
@@ -203,6 +221,8 @@ class PathTracingRenderer(TiledRenderer):
             environment = create_environment(env_px, env_px.shape[1], env_px.shape[0])
         self.environment = environment
         self.max_depth = int(scene_data.max_depth)
+        self.sampler = context.configuration.sampler
+        self._sampler_key = jax.random.PRNGKey(0x5EED)
         if context.mesh is not None:
             from rayaccel_tpu.parallel.mesh import replicate_scene
             self.scene = replicate_scene(context.mesh, self.scene)
@@ -220,10 +240,15 @@ class PathTracingRenderer(TiledRenderer):
         tile = min(self.context.configuration.trace_block, shard_lanes)
 
         regroup = self.context.configuration.regroup
+        sampler = self.sampler
+        sampler_key = self._sampler_key
 
         def wave_fn(x, y, alive, key):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
                                  max_depth, backend=backend, tile=tile,
-                                 stack_depth=stack_depth, regroup=regroup)
+                                 stack_depth=stack_depth, regroup=regroup,
+                                 sampler=sampler,
+                                 spp_index=jnp.int32(self.spp),
+                                 sampler_key=sampler_key)
 
         return wave_fn

@@ -103,12 +103,12 @@ def whitted_shade(surf, rays: Rays, weight):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
-                                   "tile", "stack_depth"))
+                                   "tile", "stack_depth", "shadows"))
 def whitted_trace_wave(scene, env: Environment, cam_arrays,
                        x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                        key: jax.Array, max_depth: int, stack_size: int = 9,
                        backend: str = "mxu", tile: int = 512,
-                       stack_depth: int = 48):
+                       stack_depth: int = 48, shadows: bool = False):
     """Trace one wave of pixels through their full Whitted ray trees.
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -180,6 +180,29 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
             surf, rays, weight)
         refl_ok = refl_ok & active
         refr_ok = refr_ok & active
+        if shadows:
+            # Shadow rays toward the directional light (BASELINE config 1:
+            # primary+shadow): direct light is masked by an any-hit
+            # occlusion query from the offset hit point.
+            light = jnp.asarray(LIGHT_DIR, jnp.float32)
+            light = light / jnp.linalg.norm(light)
+            sgn = jnp.where(jnp.sum(surf.ng * light[None, :], axis=-1) >= 0,
+                            1.0, -1.0)
+            spos = surf.pos + surf.ng * (ORIGIN_EPSILON * sgn)[:, None]
+            srays = Rays(o=spos,
+                         d=jnp.broadcast_to(light[None, :], spos.shape) + spos * 0.0,
+                         tmin=SECONDARY_TMIN + spos[:, 0] * 0.0,
+                         tmax=SECONDARY_TMAX + spos[:, 0] * 0.0)
+            if backend in ("mxu", "pallas"):
+                from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+                occluded = trace_occlusion_mxu(scene, srays, active=active,
+                                               tile=tile)
+            else:
+                sh = trace_bvh(scene, srays, env=None, active=active,
+                               stack_depth=stack_depth)
+                occluded = sh.tri >= 0
+            traced = traced + jnp.sum(active.astype(jnp.int32))
+            direct = jnp.where(occluded[:, None], 0.0, direct)
         radiance = radiance + jnp.where(active[:, None], direct, 0.0)
 
         # Continuation selection (WhittedRenderer.cpp:535-565): reflection
@@ -233,11 +256,13 @@ class WhittedRenderer(TiledRenderer):
 
     def __init__(self, context: Context, camera: Camera, scene_data: SceneData,
                  tpu_scene: TpuScene | None = None,
-                 environment: Environment | None = None):
+                 environment: Environment | None = None,
+                 shadows: bool = False):
         super().__init__(context, scene_data.viewport_width,
                          scene_data.viewport_height)
         self.camera = camera
         self.scene_data = scene_data
+        self.shadows = shadows
         self.backend = context.configuration.backend
         if tpu_scene is not None:
             self.scene = tpu_scene
@@ -275,10 +300,12 @@ class WhittedRenderer(TiledRenderer):
             shard_lanes //= self.context.mesh.devices.size
         tile = min(self.context.configuration.trace_block, shard_lanes)
 
+        shadows = self.shadows
+
         def wave_fn(x, y, alive, key):
             return whitted_trace_wave(
                 scene, env, cam_arrays, x, y, alive, key,
                 max_depth, stack_size, backend=backend, tile=tile,
-                stack_depth=stack_depth)
+                stack_depth=stack_depth, shadows=shadows)
 
         return wave_fn

@@ -210,3 +210,41 @@ def test_render_api_parity(small_scene):
     stats = racc.render(ctx, None, None, r)
     assert int(stats.rays_traced) > 0
     assert r.spp == 1
+
+
+def test_whitted_shadows(small_scene):
+    """Shadow rays (BASELINE config 1): the shadowed render must be
+    strictly darker than the unshadowed one where geometry blocks the
+    light, never brighter anywhere."""
+    s = small_scene
+    s8 = type(s)(**{**s.__dict__, "max_depth": 1})
+    base = racc.WhittedRenderer(make_context("mxu"), cam_of(s), s8)
+    shad = racc.WhittedRenderer(make_context("mxu"), cam_of(s), s8,
+                                shadows=True)
+    base.render_frame(jax.random.PRNGKey(0))
+    shad.render_frame(jax.random.PRNGKey(0))
+    a, b = base.image(), shad.image()
+    assert (b <= a + 1e-5).all(), "shadows must never add light"
+    assert (a - b).max() > 0.01, "some pixels must actually be shadowed"
+
+
+def test_stratified_sampler_converges_faster(small_scene):
+    """Stratified (R2) sampling should reach lower error than independent
+    uniform sampling at equal spp (BASELINE config 4)."""
+    s = small_scene
+    imgs = {}
+    for sampler in ("uniform", "stratified"):
+        r = racc.PathTracingRenderer(
+            make_context("mxu", sampler=sampler), cam_of(s), s)
+        for i in range(8):
+            r.render_frame(jax.random.PRNGKey(i))
+        imgs[sampler] = r.image()
+    ref = racc.PathTracingRenderer(
+        make_context("mxu", sampler="stratified"), cam_of(s), s)
+    for i in range(100, 140):
+        ref.render_frame(jax.random.PRNGKey(i))
+    ref_img = ref.image()
+    err_u = np.sqrt(np.mean((imgs["uniform"] - ref_img) ** 2))
+    err_s = np.sqrt(np.mean((imgs["stratified"] - ref_img) ** 2))
+    # Stratification should not be worse; usually clearly better.
+    assert err_s < err_u * 1.1, (err_s, err_u)
