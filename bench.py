@@ -24,15 +24,24 @@ MAX_DEPTH = 2
 
 
 def main():
+    import os
     scene_data = make_battlefield_like()
     scene_data.max_depth = MAX_DEPTH
-    cfg = racc.Configuration(backend="pallas", wave_size=128 * 128 * 4)
+    cfg = racc.Configuration(
+        backend=os.environ.get("BENCH_BACKEND", "pallas"),
+        wave_size=int(os.environ.get("BENCH_WAVE", 128 * 128 * 4)),
+        trace_block=int(os.environ.get("BENCH_TILE", 512)))
     ctx = racc.create_context(cfg)
     cam = racc.Camera.look_at(
         scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,
         scene_data.cam_fov, scene_data.viewport_width,
         scene_data.viewport_height)
-    renderer = racc.PathTracingRenderer(ctx, cam, scene_data)
+    cs = int(os.environ.get("BENCH_CS", 128))
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    tpu_scene = compile_clusters(scene_data, cluster_size=cs)
+    renderer = racc.PathTracingRenderer(ctx, cam, scene_data,
+                                        tpu_scene=tpu_scene)
+    renderer.backend = cfg.backend
 
     # Warm-up: compile every wave shape.
     renderer.render_frame(jax.random.PRNGKey(0))

@@ -243,12 +243,12 @@ class PathTracingRenderer(TiledRenderer):
         sampler = self.sampler
         sampler_key = self._sampler_key
 
-        def wave_fn(x, y, alive, key):
+        def wave_fn(x, y, alive, key, spp):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
                                  max_depth, backend=backend, tile=tile,
                                  stack_depth=stack_depth, regroup=regroup,
                                  sampler=sampler,
-                                 spp_index=jnp.int32(self.spp),
+                                 spp_index=spp,
                                  sampler_key=sampler_key)
 
         return wave_fn

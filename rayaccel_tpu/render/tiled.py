@@ -98,14 +98,19 @@ class TiledRenderer:
             ))
 
         self.spp = 0
-        self.dropped = 0
+        self._dropped_dev = jnp.int32(0)
         self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
         self._wave_fn = None  # built lazily by subclass
-        self._accum = jax.jit(
-            lambda fb, rad, base: jax.lax.dynamic_update_slice(
-                fb, jax.lax.dynamic_slice(fb, (base, 0),
-                                          (self.wave_size, 3)) + rad,
-                (base, 0)))
+        self._frame_fn = None
+        # Stacked wave inputs for the fused frame loop.
+        self._wave_x = jnp.stack([w[0] for w in self._wave_inputs])
+        self._wave_y = jnp.stack([w[1] for w in self._wave_inputs])
+        self._wave_alive = jnp.stack([w[2] for w in self._wave_inputs])
+
+    @property
+    def dropped(self) -> int:
+        """Overflow/drop counter (device-accumulated; reading syncs)."""
+        return int(self._dropped_dev)
 
     # -- framebuffer management (TiledRenderer.cpp:51-60) --
     def clear(self):
@@ -130,23 +135,60 @@ class TiledRenderer:
     # -- frame loop (role of racc::render + cpuWorkerThread spawn path) --
     def render_frame(self, key: jax.Array) -> Stats:
         """Render one progressive sample over the full viewport: the analog
-        of one racc::render frame barrier (RayAccelerator.cpp:738-759)."""
+        of one racc::render frame barrier (RayAccelerator.cpp:738-759).
+
+        The whole frame (all waves, all bounces) is ONE compiled call: a
+        lax.scan over waves accumulating into the framebuffer — device
+        round-trips cost ~30ms on remote-tunnel hosts, so nothing is read
+        back per frame; counters stay device-side until queried."""
         if self._wave_fn is None:
             fn = self._build_wave_fn()
             if self.context.mesh is not None:
                 fn = self._shard_wave_fn(fn)
             self._wave_fn = fn
-        traced = jnp.int32(0)
-        dropped = jnp.int32(0)
-        for w, (x, y, alive) in enumerate(self._wave_inputs):
-            wave_key = jax.random.fold_in(key, w)
-            radiance, n, d = self._wave_fn(x, y, alive, wave_key)
-            self._fb = self._accum(self._fb, radiance,
-                                   jnp.int32(w * self.wave_size))
-            traced = traced + n
-            dropped = dropped + d
+        if self._frame_fn is None:
+            wave_fn = self._wave_fn
+            wave_size = self.wave_size
+
+            @jax.jit
+            def frame_fn(fb, xs, ys, alives, key, spp):
+                def step(carry, inputs):
+                    fb, traced, dropped, w = carry
+                    x, y, alive = inputs
+                    wave_key = jax.random.fold_in(key, w)
+                    radiance, n, d = wave_fn(x, y, alive, wave_key, spp)
+                    fb = jax.lax.dynamic_update_slice(
+                        fb, jax.lax.dynamic_slice(
+                            fb, (w * wave_size, 0), (wave_size, 3)) + radiance,
+                        (w * wave_size, 0))
+                    return (fb, traced + n, dropped + d, w + 1), None
+
+                init = (fb, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+                (fb, traced, dropped, _), _ = jax.lax.scan(
+                    step, init, (xs, ys, alives))
+                return fb, traced, dropped
+
+            self._frame_fn = frame_fn
+
+        if self.context.mesh is not None:
+            # Sharded waves run unfused (shard_map handles the device loop).
+            traced = jnp.int32(0)
+            dropped = jnp.int32(0)
+            for w, (x, y, alive) in enumerate(self._wave_inputs):
+                wave_key = jax.random.fold_in(key, w)
+                radiance, n, d = self._wave_fn(x, y, alive, wave_key,
+                                               jnp.int32(self.spp))
+                self._fb = self._fb.at[w * self.wave_size:
+                                       (w + 1) * self.wave_size].add(radiance)
+                traced = traced + n
+                dropped = dropped + d
+            self._pending = (traced, dropped)
+        else:
+            self._fb, traced, dropped = self._frame_fn(
+                self._fb, self._wave_x, self._wave_y, self._wave_alive, key,
+                jnp.int32(self.spp))
         self.spp += 1
-        self.dropped += int(dropped)
+        self._dropped_dev = self._dropped_dev + dropped
         self.end_frame()
         return Stats(rays_traced=traced)
 
@@ -162,11 +204,11 @@ class TiledRenderer:
 
         @jax.jit
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P("tiles"), P("tiles"), P("tiles"), P()),
+                 in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
                  out_specs=(P("tiles"), P(), P()))
-        def fn(x, y, alive, key):
+        def fn(x, y, alive, key, spp):
             key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
-            radiance, traced, dropped = inner(x, y, alive, key)
+            radiance, traced, dropped = inner(x, y, alive, key, spp)
             return (radiance, jax.lax.psum(traced, "tiles"),
                     jax.lax.psum(dropped, "tiles"))
 

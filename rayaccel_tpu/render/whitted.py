@@ -302,7 +302,8 @@ class WhittedRenderer(TiledRenderer):
 
         shadows = self.shadows
 
-        def wave_fn(x, y, alive, key):
+        def wave_fn(x, y, alive, key, spp):
+            del spp  # Whitted uses per-frame keys only
             return whitted_trace_wave(
                 scene, env, cam_arrays, x, y, alive, key,
                 max_depth, stack_size, backend=backend, tile=tile,

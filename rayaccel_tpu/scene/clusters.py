@@ -44,6 +44,7 @@ from rayaccel_tpu.scene.data import SceneData
 
 RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
 ATTR_COLS = 32      # per-triangle attribute row, padded
+ATTR_TRI_ID_COL = 19  # original triangle id as raw int32 bits (f32 container)
 
 
 class ClusterScene(NamedTuple):
@@ -170,6 +171,9 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     A[real, 14:16] = vt[idx[rid, 1]]
     A[real, 16:18] = vt[idx[rid, 2]]
     A[real, 18] = np.asarray(scene.triangle_materials, np.float32)[rid]
+    # Original triangle id as raw bits (selected with integer ops by the
+    # Pallas kernel; -1 bit pattern for padding slots).
+    A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)
 
     return ClusterScene(
         G=jnp.asarray(G),
