@@ -63,8 +63,8 @@ _O_T, _O_TRI = 36, 37
 _SIGN = -2147483648  # 0x80000000 as a Python int (jnp consts cannot be captured by kernels)
 
 
-def _kernel(items_ref, entries_ref, n_ref, F_ref, G_ref, A_ref, out_ref, *,
-            precision):
+def _kernel(items_ref, entries_ref, n_ref, F_ref, G_ref, A_ref, out_ref,
+            worst_ref, *, precision):
     C = G_ref.shape[2] // 4
     tile = F_ref.shape[1]
     i = pl.program_id(0)
@@ -85,13 +85,19 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, G_ref, A_ref, out_ref, *,
             tri_bits[:, None],
             jnp.zeros((tile, OUT_COLS - 38), jnp.float32),
         ], axis=1)
+        # Per-tile worst current best, kept as an SMEM int32 (float bits;
+        # int order == float order for the non-negative range) so the
+        # front-to-back skip below never touches the output block outside
+        # its pl.when (an out_ref read here serialized the pipeline, 10x).
+        worst_ref[0] = jnp.max(
+            jax.lax.bitcast_convert_type(F_ref[0, :, 11], jnp.int32))
 
-    # Front-to-back early-out: positive-float bit patterns order like the
-    # floats, so compare the item's conservative entry distance against the
-    # tile's worst current best directly as ints.
-    worst = jnp.max(out_ref[0][:, _O_T])
-    worst_i = jax.lax.bitcast_convert_type(worst, jnp.int32)
-    useful = entries_ref[i] <= jnp.maximum(worst_i, 0)
+    # Front-to-back early-out: skip the whole body when this cluster's
+    # conservative entry distance cannot beat any ray's current best (the
+    # dense analog of ordered traversal with shrinking tMax,
+    # Kernels.h:190-198). Entry values are pre-bitcast ints; positive
+    # floats order identically as ints.
+    useful = entries_ref[i] <= jnp.maximum(worst_ref[0], 0)
 
     @pl.when(live & useful)
     def _step():
@@ -157,6 +163,8 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, G_ref, A_ref, out_ref, *,
             tri_new[:, None],
             cur[:, 38:],
         ], axis=1)
+        worst_ref[0] = jnp.max(jax.lax.bitcast_convert_type(
+            jnp.where(better, tj, best_t), jnp.int32))
 
 
 def _make_call(cap, T, tile, C, precision, interpret):
@@ -175,6 +183,7 @@ def _make_call(cap, T, tile, C, precision, interpret):
         out_specs=pl.BlockSpec(
             (1, tile, OUT_COLS),
             lambda i, items, entries, n: (items[i] >> 16, 0, 0)),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
     def call(items, entries, n_items, F, G3, A3):

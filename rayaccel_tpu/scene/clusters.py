@@ -45,6 +45,7 @@ from rayaccel_tpu.scene.data import SceneData
 RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
 ATTR_COLS = 32      # per-triangle attribute row, padded
 ATTR_TRI_ID_COL = 19  # original triangle id as raw int32 bits (f32 container)
+ATTR_CLUSTER_COL = 20  # cluster id (float-valued; small ints are exact)
 
 
 class ClusterScene(NamedTuple):
@@ -174,6 +175,7 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     # Original triangle id as raw bits (selected with integer ops by the
     # Pallas kernel; -1 bit pattern for padding slots).
     A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)
+    A[:, ATTR_CLUSTER_COL] = np.repeat(np.arange(n_c, dtype=np.float32), C)
 
     return ClusterScene(
         G=jnp.asarray(G),
