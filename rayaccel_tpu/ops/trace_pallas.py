@@ -3,34 +3,31 @@
 The XLA version of the MXU-dense tracer (ops/trace_mxu.py) materializes
 the (tile, 4C) matmul output and its decode temporaries to HBM every
 cluster step (~0.5GB/step at full wave), and its lockstep loop pays the
-slowest tile's cluster count for every tile. This kernel fixes both:
+slowest tile's cluster count for every tile. This kernel fixes both: the
+wave's (tile, cluster) work queue is *exact* (scalar-prefetched, packed
+``tile<<16 | cluster`` ids, tile-major and front-to-back within a tile),
+and matmul + decode + min-merge all happen in VMEM.
 
-- The wave's (tile, cluster) work queue is *exact*: one grid step per
-  overlapping pair, scalar-prefetched as packed ``tile<<16 | cluster``
-  ids; a tile with 3 clusters costs 3 steps (no lockstep inflation).
-- Matmul + decode + argmin + best-merge all happen in VMEM; HBM sees only
-  the cluster blocks (streamed by the Pallas pipeline via
-  scalar-prefetched index maps, the embedding-lookup pattern) and one
-  write of each tile's packed best-hit block (output blocks stay resident
-  in VMEM across consecutive steps of the same tile).
+Tuned around measured host facts (docs/PERF_NOTES.md):
 
-The decode is the VPU-bound part (~tile x C lanes per step), so it is cut
-to the bone:
+- a grid step costs ~3.8us of pipeline overhead regardless of body, so
+  each step processes K_PER_STEP clusters as separate input streams;
+  per-tile queue runs are padded to multiples of K by repeating the last
+  cluster (idempotent: re-tests lose to the best-t they set);
+- the VPU decode is the body cost, so the kernel keeps only a packed
+  (score | candidate-column) minimum per ray — sign-bit validity tests
+  (the Kernels.h:60-91 idiom), approximate-reciprocal ranking, no
+  per-candidate selection sums. The winner's exact u/v/t, triangle id and
+  shading attributes are reconstructed once per ray at wave end from the
+  (cluster, column) slot;
+- a front-to-back skip via an SMEM scalar (entry distance vs the tile's
+  worst best) drops whole steps, the dense analog of ordered traversal
+  with shrinking tMax (Kernels.h:190-198).
 
-- per-tile items are ordered FRONT TO BACK and carry their conservative
-  entry distance; a step whose cluster entry cannot beat any ray's
-  current best skips its whole body (the dense analog of ordered
-  traversal with tMax shrinking, Kernels.h:190-198);
-- validity uses the reference kernel's sign-bit tricks (Kernels.h:60-91)
-  on raw bit patterns;
-- the u/v/t division happens once per ray for the winning candidate, not
-  per candidate.
-
-Grid sizes adapt to the actual queue length by a lax.switch over capacity
-buckets; triangle ids ride inside the attribute block as bit patterns.
-Every tile is guaranteed at least one item (cluster 0 is forced into
-every tile's mask — testing an extra cluster is conservative-safe because
-the triangle test itself enforces the t range), and the tail is padded by
+Grid sizes adapt to the queue length via a lax.switch over capacity
+buckets. Every tile is guaranteed at least one item (cluster 0 is forced
+into every tile's mask — testing an extra cluster is conservative-safe
+because the triangle test enforces the t range); the tail is padded by
 repeating the last real item so padded steps neither re-initialize nor
 recompute anything.
 """
@@ -47,152 +44,133 @@ from jax.experimental.pallas import tpu as pltpu
 from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import safe_inv_dir
 from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
-from rayaccel_tpu.scene.clusters import (ATTR_COLS, ATTR_TRI_ID_COL,
-                                         RAY_FEATURES, ClusterScene)
+from rayaccel_tpu.scene.clusters import (ATTR_COLS, RAY_FEATURES,
+                                         ClusterScene)
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 
-# Queue capacity buckets, in items per tile: the wrapper dispatches to the
-# smallest bucket that fits the wave's actual queue (lax.switch, no host
-# sync). The largest bucket is the hard cap; beyond it the farthest work
-# is dropped and reported.
+# Queue capacity buckets, in items per tile (multiples of K_PER_STEP): the
+# wrapper dispatches to the smallest bucket that fits via lax.switch (no
+# host sync). Beyond the largest bucket, each tile's FARTHEST clusters are
+# dropped and counted.
 CAP_BUCKETS = (8, 16, 32, 64)
-# Packed output row: [winning u_n, v_n, t_n, ad | attr(32) | t | tri bits].
-OUT_COLS = 64
-_O_UN, _O_VN, _O_TN, _O_AD = 32, 33, 34, 35
-_O_T, _O_TRI = 36, 37
-_SIGN = -2147483648  # 0x80000000 as a Python int (jnp consts cannot be captured by kernels)
+K_PER_STEP = 4
+OUT_COLS = 8            # [packed score | slot bits | pad...]
+_COL_BITS = 7           # candidate column rides in the score's low mantissa
+_SIGN = -2147483648     # 0x80000000 as a Python int
 
 
-def _kernel(items_ref, entries_ref, n_ref, F_ref, G_ref, A_ref, out_ref,
-            worst_ref, *, precision):
-    C = G_ref.shape[2] // 4
+def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
+    K = K_PER_STEP
+    G_refs = refs[:K]
+    out_ref, worst_ref = refs[K], refs[K + 1]
+    C = G_refs[0].shape[2] // 4
     tile = F_ref.shape[1]
     i = pl.program_id(0)
 
-    packed = items_ref[i]
-    prev = items_ref[jnp.maximum(i - 1, 0)]
+    packed = items_ref[i * K]
+    prev = items_ref[jnp.maximum(i - 1, 0) * K]
     first = jnp.logical_or(i == 0, (packed >> 16) != (prev >> 16))
-    live = i < n_ref[0]
+    live = i * K < n_ref[0]
 
     @pl.when(first)
     def _init():
-        tri_bits = jax.lax.bitcast_convert_type(
-            jnp.full((tile,), INVALID_TRIANGLE, jnp.int32), jnp.float32)
+        # Packed miss state: score = tmax_eff bits (low mantissa noise is
+        # irrelevant: any real hit must beat it), slot = -1.
+        z = jnp.zeros((tile, OUT_COLS - 2), jnp.float32)
+        t0 = jax.lax.bitcast_convert_type(F_ref[0, :, 11], jnp.int32)
         out_ref[0] = jnp.concatenate([
-            jnp.zeros((tile, 32), jnp.float32),
-            jnp.zeros((tile, 4), jnp.float32),
-            F_ref[0, :, 11][:, None],            # best t = tmax_eff
-            tri_bits[:, None],
-            jnp.zeros((tile, OUT_COLS - 38), jnp.float32),
+            F_ref[0, :, 11][:, None],
+            jax.lax.bitcast_convert_type(
+                jnp.full((tile,), -1, jnp.int32), jnp.float32)[:, None],
+            z,
         ], axis=1)
-        # Per-tile worst current best, kept as an SMEM int32 (float bits;
-        # int order == float order for the non-negative range) so the
-        # front-to-back skip below never touches the output block outside
-        # its pl.when (an out_ref read here serialized the pipeline, 10x).
-        worst_ref[0] = jnp.max(
-            jax.lax.bitcast_convert_type(F_ref[0, :, 11], jnp.int32))
+        worst_ref[0] = jnp.max(jnp.maximum(t0, 0))
 
-    # Front-to-back early-out: skip the whole body when this cluster's
-    # conservative entry distance cannot beat any ray's current best (the
-    # dense analog of ordered traversal with shrinking tMax,
-    # Kernels.h:190-198). Entry values are pre-bitcast ints; positive
-    # floats order identically as ints.
-    useful = entries_ref[i] <= jnp.maximum(worst_ref[0], 0)
+    # Front-to-back early-out (positive-float bits order like the floats).
+    useful = entries_ref[i * K] <= jnp.maximum(worst_ref[0], 0)
 
     @pl.when(live & useful)
     def _step():
         Fm = F_ref[0]                               # (tile, 16)
-        S = jax.lax.dot(Fm, G_ref[0], precision=precision)  # (tile, 4C)
-        det = S[:, 0 * C:1 * C]
-        u_n = S[:, 1 * C:2 * C]
-        v_n = S[:, 2 * C:3 * C]
-        t_n = S[:, 3 * C:4 * C]
-
-        cur = out_ref[0]                            # (tile, OUT_COLS)
-        best_t = cur[:, _O_T]
-
-        # Sign-bit validity (the bit tricks of Kernels.h:60-91): u, v and
-        # t all flip by det's sign; inside = sign(u)==sign(v)==sign(det)
-        # and |u|+|v| <= |det|.
-        det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
-        u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
-        v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
-        sign_ok = ((u_i ^ det_i) | (v_i ^ det_i)) >= 0
-        ad = jnp.abs(det)
-        au = jnp.abs(u_n)
-        av = jnp.abs(v_n)
-        ts = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(t_n, jnp.int32) ^ (det_i & _SIGN),
-            jnp.float32)
+        cur = out_ref[0]
         tmin = Fm[:, 10][:, None]
-        valid = (sign_ok & (au + av <= ad) & (ad > 0)
-                 & (ts > ad * tmin) & (ts < ad * best_t[:, None]))
-        score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True), 3e38)
 
-        j = jnp.argmin(score, axis=1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (tile, C), 1)
-                  == j[:, None])
-        tj = jnp.min(score, axis=1)
-        better = tj < best_t
+        best_i = jax.lax.bitcast_convert_type(cur[:, 0], jnp.int32)
+        best_slot = jax.lax.bitcast_convert_type(cur[:, 1], jnp.int32)
 
-        sel = onehot & better[:, None]
-        sel_f = sel.astype(jnp.float32)
-        # Raw numerators/denominator of the winner; the exact divide
-        # happens once per ray in the wrapper.
-        un_j = jnp.sum(jnp.where(sel, u_n, 0.0), axis=1)
-        vn_j = jnp.sum(jnp.where(sel, v_n, 0.0), axis=1)
-        tn_j = jnp.sum(jnp.where(sel, ts, 0.0), axis=1)
-        ad_j = jnp.sum(jnp.where(sel, det, 0.0), axis=1)
-        attr_j = jax.lax.dot(sel_f, A_ref[0],
-                             precision=jax.lax.Precision.HIGHEST)
-        ids_i = jax.lax.bitcast_convert_type(A_ref[0][:, ATTR_TRI_ID_COL],
-                                             jnp.int32)
-        tri_j = jnp.sum(jnp.where(sel, ids_i[None, :], 0), axis=1)
-        tri_cur = jax.lax.bitcast_convert_type(cur[:, _O_TRI], jnp.int32)
-        tri_new = jax.lax.bitcast_convert_type(
-            jnp.where(better, tri_j, tri_cur), jnp.float32)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, C), 1)
+        for k in range(K):
+            S = jax.lax.dot(Fm, G_refs[k][0], precision=precision)
+            det = S[:, 0 * C:1 * C]
+            u_n = S[:, 1 * C:2 * C]
+            v_n = S[:, 2 * C:3 * C]
+            t_n = S[:, 3 * C:4 * C]
 
-        bb = better[:, None]
+            det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
+            u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
+            v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
+            sign_ok = ((u_i ^ det_i) | (v_i ^ det_i)) >= 0
+            ad = jnp.abs(det)
+            ts = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(t_n, jnp.int32)
+                ^ (det_i & _SIGN), jnp.float32)
+            best_f = jax.lax.bitcast_convert_type(best_i, jnp.float32)
+            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+                     & (ts > ad * tmin) & (ts < ad * best_f[:, None]))
+            score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
+                              3e38)
+            # Pack the candidate column into the score's low mantissa bits
+            # (rel. error 2^-16, under the approx-reciprocal noise).
+            sp = ((jax.lax.bitcast_convert_type(score, jnp.int32)
+                   | ((1 << _COL_BITS) - 1)) ^ (((1 << _COL_BITS) - 1))
+                  | col_ids)
+            m = jnp.min(sp, axis=1)
+            better = m < best_i
+            cluster = items_ref[i * K + k] & 0xFFFF
+            best_slot = jnp.where(
+                better, cluster * C + (m & ((1 << _COL_BITS) - 1)),
+                best_slot)
+            best_i = jnp.where(better, m, best_i)
+
         out_ref[0] = jnp.concatenate([
-            jnp.where(bb, attr_j, cur[:, 0:32]),
-            jnp.where(better, un_j, cur[:, _O_UN])[:, None],
-            jnp.where(better, vn_j, cur[:, _O_VN])[:, None],
-            jnp.where(better, tn_j, cur[:, _O_TN])[:, None],
-            jnp.where(better, ad_j, cur[:, _O_AD])[:, None],
-            jnp.where(better, tj, best_t)[:, None],
-            tri_new[:, None],
-            cur[:, 38:],
+            jax.lax.bitcast_convert_type(best_i, jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(best_slot, jnp.float32)[:, None],
+            cur[:, 2:],
         ], axis=1)
-        worst_ref[0] = jnp.max(jax.lax.bitcast_convert_type(
-            jnp.where(better, tj, best_t), jnp.int32))
+        worst_ref[0] = jnp.max(best_i)
 
 
 def _make_call(cap, T, tile, C, precision, interpret):
+    K = K_PER_STEP
     kern = partial(_kernel, precision=precision)
+
+    def g_spec(k):
+        return pl.BlockSpec(
+            (1, RAY_FEATURES, 4 * C),
+            lambda i, items, entries, n, k=k: (items[i * K + k] & 0xFFFF,
+                                               0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(cap,),
+        grid=(cap // K,),
         in_specs=[
             pl.BlockSpec((1, tile, RAY_FEATURES),
-                         lambda i, items, entries, n: (items[i] >> 16, 0, 0)),
-            pl.BlockSpec((1, RAY_FEATURES, 4 * C),
-                         lambda i, items, entries, n: (items[i] & 0xFFFF, 0, 0)),
-            pl.BlockSpec((1, C, ATTR_COLS),
-                         lambda i, items, entries, n: (items[i] & 0xFFFF, 0, 0)),
-        ],
+                         lambda i, items, entries, n: (items[i * K] >> 16,
+                                                       0, 0)),
+        ] + [g_spec(k) for k in range(K)],
         out_specs=pl.BlockSpec(
             (1, tile, OUT_COLS),
-            lambda i, items, entries, n: (items[i] >> 16, 0, 0)),
+            lambda i, items, entries, n: (items[i * K] >> 16, 0, 0)),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
 
-    def call(items, entries, n_items, F, G3, A3):
+    def call(items, entries, n_items, F, G3):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((T, tile, OUT_COLS), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(items[:cap], entries[:cap], n_items[None], F, G3, A3)
+        )(items[:cap], entries[:cap], n_items[None], F, *([G3] * K))
 
     return call
 
@@ -203,11 +181,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
                      active: jnp.ndarray | None = None, tile: int = 512,
                      precision: str = "highest",
                      interpret: bool | None = None):
-    """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)
-    where ``overflow`` counts (tile, cluster) pairs dropped because even
-    the largest work-queue bucket was exceeded (0 in healthy
-    configurations; rises only for extremely incoherent ray tiles; the
-    dropped items are each tile's farthest clusters)."""
+    """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)."""
     if interpret is None:  # Mosaic requires hardware; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
@@ -217,6 +191,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     T = R // tile
     C = cs.cluster_size
     n_c = cs.n_clusters
+    K = K_PER_STEP
 
     o = tuple(rays.o[:, a] for a in range(3))
     inv3 = safe_inv_dir(rays.d)
@@ -225,7 +200,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     tmin = rays.tmin
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
-    # ---- dense cull (shared logic with trace_mxu) ----
+    # ---- dense cull ----
     t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
     t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
     for a in range(3):
@@ -237,56 +212,67 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     tile_entry = entry.reshape(T, tile, n_c).min(axis=1)     # (T, N_c)
     tile_entry = tile_entry.at[:, 0].min(0.0)  # force cluster 0 everywhere
 
-    # ---- front-to-back work queue, tile-major ----
-    order = jnp.argsort(tile_entry, axis=1)                  # (T, N_c)
+    # ---- front-to-back queue, per-tile runs padded to K ----
+    order = jnp.argsort(tile_entry, axis=1)
     sorted_entry = jnp.take_along_axis(tile_entry, order, axis=1)
     counts = jnp.sum((tile_entry < _INF).astype(jnp.int32), axis=1)
-    k_mask = (jax.lax.broadcasted_iota(jnp.int32, (T, n_c), 1)
-              < counts[:, None])
+    counts_pad = -(-counts // K) * K
+    # The rank lattice must be wide enough for K-padded counts (counts_pad
+    # can exceed n_c for tiny scenes).
+    n_cp = -(-n_c // K) * K
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, n_cp), 1)
+    k_mask = kk < counts_pad[:, None]
 
     cap_max = T * CAP_BUCKETS[-1]
-    total = jnp.sum(counts)
+    total = jnp.sum(counts_pad)
     flat_pos = jnp.nonzero(k_mask.reshape(-1), size=cap_max, fill_value=0)[0]
     n_items = jnp.minimum(total, cap_max)
     last = flat_pos[jnp.maximum(n_items - 1, 0)]
     lane = jnp.arange(cap_max)
     flat_pos = jnp.where(lane < n_items, flat_pos, last)
-    item_tile = (flat_pos // n_c).astype(jnp.int32)
-    item_cluster = jnp.take(order.reshape(-1), flat_pos).astype(jnp.int32)
+    item_tile = (flat_pos // n_cp).astype(jnp.int32)
+    # Clamp the within-tile rank to the real count: padding repeats the
+    # tile's last (farthest) cluster — idempotent in the kernel.
+    rank = jnp.minimum((flat_pos % n_cp).astype(jnp.int32),
+                       jnp.take(counts, item_tile) - 1)
+    src = item_tile * n_c + rank
+    item_cluster = jnp.take(order.reshape(-1), src).astype(jnp.int32)
     items = (item_tile << 16) | item_cluster
-    entries_f = jnp.take(sorted_entry.reshape(-1), flat_pos)
-    entries = jax.lax.bitcast_convert_type(entries_f, jnp.int32)
+    entries = jax.lax.bitcast_convert_type(
+        jnp.take(sorted_entry.reshape(-1), src), jnp.int32)
     overflow = jnp.maximum(total - cap_max, 0)
 
-    # ---- ray-side features, (T, tile, 16) with tmin/tmax in cols 10/11
-    # (G rows 10..15 are zero so the packing is invisible to the dot) ----
+    # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)
     F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff).reshape(T, tile,
                                                               RAY_FEATURES)
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
-    A3 = cs.attrs.reshape(n_c, C, ATTR_COLS)
 
-    # ---- capacity-bucketed dispatch: pay grid steps ~ actual queue ----
     calls = [_make_call(T * b, T, tile, C, prec, interpret)
              for b in CAP_BUCKETS]
     branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
-    out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3, A3)
+    out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
 
-    attr = out[:, :, 0:32].reshape(R, 32)
-    un = out[:, :, _O_UN].reshape(R)
-    vn = out[:, :, _O_VN].reshape(R)
-    tn = out[:, :, _O_TN].reshape(R)
-    det = out[:, :, _O_AD].reshape(R)
-    tri = jax.lax.bitcast_convert_type(out[:, :, _O_TRI],
-                                       jnp.int32).reshape(R)
+    slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(R)
+    hit = slot >= 0
+    slot_safe = jnp.where(hit, slot, 0)
 
-    hit = tri >= 0
-    # Exact once-per-ray division; u/v carry det's sign like t does.
-    rcp = 1.0 / jnp.where(det == 0, 1.0, jnp.abs(det))
-    sgn = jnp.where(det < 0, -1.0, 1.0)
-    t = tn * rcp
-    u = un * sgn * rcp
-    v = vn * sgn * rcp
+    # ---- winner reconstruction: 3 per-ray gathers + exact MT ----
+    tri = jnp.take(cs.tri_id, slot_safe)
+    geom = jnp.take(cs.tri_geom, slot_safe, axis=0)        # (R, 12)
+    attr = jnp.take(cs.attrs, slot_safe, axis=0)           # (R, ATTR_COLS)
+
+    v0 = geom[:, 0:3]
+    e1 = geom[:, 3:6]
+    e2 = geom[:, 6:9]
+    pvec = jnp.cross(rays.d, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv = 1.0 / jnp.where(det == 0, 1.0, det)
+    tvec = rays.o - v0
+    u = jnp.sum(pvec * tvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(qvec * rays.d, axis=-1) * inv
+    t = jnp.sum(qvec * e2, axis=-1) * inv
 
     if env is not None:
         miss_rgb = sample_environment_onehot(env, rays.d)

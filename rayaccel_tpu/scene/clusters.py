@@ -54,6 +54,8 @@ class ClusterScene(NamedTuple):
     G: jnp.ndarray            # (RAY_FEATURES, N_c*C*4) f32 intersection features
     attrs: jnp.ndarray        # (N_c*C, ATTR_COLS) f32 shading attributes
     tri_id: jnp.ndarray       # (N_c*C,) int32 original triangle id (-1 pad)
+    tri_geom: jnp.ndarray     # (N_c*C, 12) f32 [v0, e1, e2] for exact
+                              # winner reconstruction (padded rows zero)
     cl_bbmin: jnp.ndarray     # (N_c, 3) f32
     cl_bbmax: jnp.ndarray     # (N_c, 3) f32
     mat_params: jnp.ndarray   # (M, 4) f32
@@ -177,9 +179,15 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)
     A[:, ATTR_CLUSTER_COL] = np.repeat(np.arange(n_c, dtype=np.float32), C)
 
+    geom = np.zeros((TP, 12), np.float32)
+    geom[real, 0:3] = v0
+    geom[real, 3:6] = v1 - v0
+    geom[real, 6:9] = v2 - v0
+
     return ClusterScene(
         G=jnp.asarray(G),
         attrs=jnp.asarray(A),
+        tri_geom=jnp.asarray(geom),
         tri_id=jnp.asarray(tri_id, jnp.int32),
         cl_bbmin=jnp.asarray(cl_bbmin),
         cl_bbmax=jnp.asarray(cl_bbmax),
