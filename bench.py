@@ -30,7 +30,7 @@ def main():
     cfg = racc.Configuration(
         backend=os.environ.get("BENCH_BACKEND", "pallas"),
         wave_size=int(os.environ.get("BENCH_WAVE", 128 * 128 * 4)),
-        trace_block=int(os.environ.get("BENCH_TILE", 512)))
+        trace_block=int(os.environ.get("BENCH_TILE", 1024)))
     ctx = racc.create_context(cfg)
     cam = racc.Camera.look_at(
         scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,

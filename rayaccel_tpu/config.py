@@ -48,7 +48,7 @@ class Configuration:
     allow_xla_tracing: bool = True
     max_rays_in_flight: int = 128 * 128 * 16
     max_rays_per_spawn: int = 128 * 128
-    trace_block: int = 512
+    trace_block: int = 1024
     shade_block: int = 8192
     wave_size: int = 128 * 128
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,

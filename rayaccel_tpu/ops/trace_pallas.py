@@ -179,7 +179,7 @@ def _make_call(cap, T, tile, C, precision, interpret):
 def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
                      env: Environment | None = None,
                      active: jnp.ndarray | None = None, tile: int = 512,
-                     precision: str = "highest",
+                     precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
                      interpret: bool | None = None):
     """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)."""
     if interpret is None:  # Mosaic requires hardware; interpret elsewhere
