@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-cpu-tracing", dest="no_cpu", action="store_true",
                    help="force the MXU throughput engine (reference "
                         "--no-cpu-tracing)")
-    p.add_argument("--backend", choices=["mxu", "xla"], default=None,
+    p.add_argument("--backend", choices=["pallas", "mxu", "xla"], default=None,
                    help="explicit traversal backend")
     p.add_argument("--spp", type=int, default=4, help="samples per pixel")
     p.add_argument("--max-depth", type=int, default=None)
@@ -83,7 +83,7 @@ def main(argv=None) -> int:
     if args.height:
         scene_data.viewport_height = args.height
 
-    backend = args.backend or ("xla" if args.no_gpu else "mxu")
+    backend = args.backend or ("xla" if args.no_gpu else "pallas")
     racc.init()
     ctx = racc.create_context(racc.Configuration(
         backend=backend, wave_size=args.wave_size))

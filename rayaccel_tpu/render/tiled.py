@@ -205,7 +205,8 @@ class TiledRenderer:
         @jax.jit
         @partial(shard_map, mesh=mesh,
                  in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
-                 out_specs=(P("tiles"), P(), P()))
+                 out_specs=(P("tiles"), P(), P()),
+                 check_vma=False)  # pallas out_shapes carry no vma info
         def fn(x, y, alive, key, spp):
             key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
             radiance, traced, dropped = inner(x, y, alive, key, spp)

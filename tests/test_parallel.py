@@ -75,3 +75,12 @@ def test_replicate_scene_places_on_all_devices(scene64):
     cs = compile_clusters(scene64, cluster_size=16)
     rep = replicate_scene(mesh, cs)
     assert len(rep.G.sharding.device_set) == 8
+
+
+def test_sharded_pallas_backend(scene64):
+    """The Pallas kernel path must also run under the tile mesh."""
+    r = make_renderer(scene64, mesh_shape=(8,), backend="pallas")
+    stats = r.render_frame(jax.random.PRNGKey(0))
+    img = r.image()
+    assert np.isfinite(img).all() and img.max() > 0.01
+    assert int(stats.rays_traced) >= 64 * 64
