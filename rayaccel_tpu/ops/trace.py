@@ -182,16 +182,20 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
     )
 
 
-def trace(scene: TpuScene, rays: Rays, env: Environment | None = None,
+def trace(scene, rays: Rays, env: Environment | None = None,
           backend: str = "xla", stack_depth: int = 48) -> Hits:
     """Backend dispatcher, analog of the reference's engine selection
     (hybrid scheduler routing streams to Embree or the OpenCL kernel,
-    RayAccelerator.cpp:268-300)."""
+    RayAccelerator.cpp:268-300). ``scene`` is a TpuScene for the
+    xla/bruteforce engines or a ClusterScene for mxu/pallas."""
     if backend == "xla":
         return trace_bvh(scene, rays, env, stack_depth=stack_depth)
+    if backend == "mxu":
+        from rayaccel_tpu.ops.trace_mxu import trace_mxu
+        return trace_mxu(scene, rays, env).hits
     if backend == "pallas":
-        from rayaccel_tpu.ops.trace_pallas import trace_bvh_pallas
-        return trace_bvh_pallas(scene, rays, env, stack_depth=stack_depth)
+        from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+        return trace_mxu_pallas(scene, rays, env)[0].hits
     if backend == "bruteforce":
         from rayaccel_tpu.ops.bruteforce import trace_bruteforce
         hits = trace_bruteforce(scene.tri_verts, rays)
