@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def select_backend(args) -> str:
+    """Map the reference's engine flags onto a traversal backend
+    (main.cpp:289-302): --no-gpu => lockstep xla, --no-cpu-tracing =>
+    throughput mxu, default => pallas."""
+    return args.backend or ("xla" if args.no_gpu
+                            else ("mxu" if args.no_cpu else "pallas"))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.no_gpu and args.no_cpu:
@@ -83,7 +91,7 @@ def main(argv=None) -> int:
     if args.height:
         scene_data.viewport_height = args.height
 
-    backend = args.backend or ("xla" if args.no_gpu else "pallas")
+    backend = select_backend(args)
     racc.init()
     ctx = racc.create_context(racc.Configuration(
         backend=backend, wave_size=args.wave_size))
@@ -103,7 +111,11 @@ def main(argv=None) -> int:
         import os
         from rayaccel_tpu.utils.checkpoint import load_checkpoint
         if os.path.exists(args.checkpoint + ".json"):
-            load_checkpoint(args.checkpoint, renderer)
+            # Continue the checkpointed RNG stream (ignoring --seed on
+            # resume) so accumulation stays bit-exact across the boundary.
+            stored_key = load_checkpoint(args.checkpoint, renderer)
+            if stored_key is not None:
+                base_key = stored_key
             if not args.quiet:
                 print(f"resumed at spp={renderer.spp}")
 

@@ -139,8 +139,10 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
         t_cur = jnp.where(hit_ok, ph.t, t_cur)
 
         count2 = count - 1
+        # Addition, not OR: if first+1 carried into bit 24 an OR would
+        # corrupt the count field (encode_leaf also bounds first+count).
         leaf_next = jnp.where(count2 > 0,
-                              -((first + 1) | (count2 << 24)) - 1, POP)
+                              -((first + 1) + (count2 << 24)) - 1, POP)
 
         nxt = jnp.where(is_node, node_next,
                         jnp.where(is_leaf, leaf_next, DONE))

@@ -217,16 +217,22 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     sorted_entry = jnp.take_along_axis(tile_entry, order, axis=1)
     counts = jnp.sum((tile_entry < _INF).astype(jnp.int32), axis=1)
     counts_pad = -(-counts // K) * K
+    # Clamp each tile's queue to the largest bucket BEFORE flat packing:
+    # oversubscribed tiles drop only their FARTHEST clusters (front-to-back
+    # order) and every tile keeps >=1 item, so every output block is
+    # written. Global truncation of the flat list would silently zero out
+    # trailing tiles instead.
+    counts_kept = jnp.minimum(counts_pad, CAP_BUCKETS[-1])
     # The rank lattice must be wide enough for K-padded counts (counts_pad
     # can exceed n_c for tiny scenes).
     n_cp = -(-n_c // K) * K
     kk = jax.lax.broadcasted_iota(jnp.int32, (T, n_cp), 1)
-    k_mask = kk < counts_pad[:, None]
+    k_mask = kk < counts_kept[:, None]
 
     cap_max = T * CAP_BUCKETS[-1]
-    total = jnp.sum(counts_pad)
+    total = jnp.sum(counts_kept)
     flat_pos = jnp.nonzero(k_mask.reshape(-1), size=cap_max, fill_value=0)[0]
-    n_items = jnp.minimum(total, cap_max)
+    n_items = total
     last = flat_pos[jnp.maximum(n_items - 1, 0)]
     lane = jnp.arange(cap_max)
     flat_pos = jnp.where(lane < n_items, flat_pos, last)
@@ -240,7 +246,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     items = (item_tile << 16) | item_cluster
     entries = jax.lax.bitcast_convert_type(
         jnp.take(sorted_entry.reshape(-1), src), jnp.int32)
-    overflow = jnp.maximum(total - cap_max, 0)
+    overflow = jnp.sum(jnp.maximum(counts - counts_kept, 0))
 
     # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)

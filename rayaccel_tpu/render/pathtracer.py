@@ -93,12 +93,18 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
         # spp where the reference reseeds rand() per call
         # (PathTracingRenderer.cpp:102).
         assert spp_index is not None and sampler_key is not None
-        rot = jax.random.uniform(sampler_key, (2, R), jnp.float32)
+        # The rotation must be a function of the PIXEL, not the lane index:
+        # waves reuse lane offsets, so a lane-indexed rotation would tile
+        # identical jitter sequences across wave-sized screen regions.
+        pix = (y.astype(jnp.uint32) << jnp.uint32(16)) | x.astype(jnp.uint32)
+        rot = jax.vmap(
+            lambda p: jax.random.uniform(
+                jax.random.fold_in(sampler_key, p), (2,), jnp.float32))(pix)
         g = jnp.float32(0.7548776662466927)   # plastic-constant R2
         g2 = jnp.float32(0.5698402909980532)
         s_f = spp_index.astype(jnp.float32)
-        jx = jnp.mod(rot[0] + s_f * g, 1.0)
-        jy = jnp.mod(rot[1] + s_f * g2, 1.0)
+        jx = jnp.mod(rot[:, 0] + s_f * g, 1.0)
+        jy = jnp.mod(rot[:, 1] + s_f * g2, 1.0)
         rays = generate_pixel_rays(cam_arrays, x, y, jitter=(jx, jy))
     else:
         rays = generate_pixel_rays(cam_arrays, x, y,

@@ -42,7 +42,10 @@ LEAF_FIRST_MASK = (1 << 24) - 1
 
 
 def encode_leaf(first: int, count: int) -> int:
-    assert 0 <= first <= LEAF_FIRST_MASK and 0 <= count < 256
+    # first+count must fit the mask so the traversal cursor (first+1 each
+    # step) never carries into the count bits (ops/trace.py leaf step).
+    assert (0 <= first and 0 <= count < 256
+            and first + count <= LEAF_FIRST_MASK)
     return -(first | (count << LEAF_COUNT_SHIFT)) - 1
 
 

@@ -19,6 +19,25 @@ import numpy as np
 _MAGIC = "rayaccel_tpu-checkpoint-v1"
 
 
+def scene_fingerprint(renderer) -> str:
+    """Hash of the scene geometry + camera pose, so a checkpoint refuses
+    to blend accumulation from a different scene or viewpoint (the
+    reference resets accumulation on any camera move, main.cpp:248-251)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    sd = getattr(renderer, "scene_data", None)
+    if sd is not None:
+        h.update(np.asarray(sd.vertices, np.float32).tobytes())
+        h.update(np.asarray(sd.indices, np.uint32).tobytes())
+        h.update(np.asarray(sd.materials, np.float32).tobytes())
+    cam = getattr(renderer, "camera", None)
+    if cam is not None:
+        for a in cam.as_arrays():
+            h.update(np.asarray(a, np.float32).tobytes())
+    return h.hexdigest()
+
+
 def save_checkpoint(path: str, renderer, base_key=None) -> None:
     meta = {
         "magic": _MAGIC,
@@ -26,6 +45,7 @@ def save_checkpoint(path: str, renderer, base_key=None) -> None:
         "width": renderer.width,
         "height": renderer.height,
         "n_lanes": renderer.n_lanes,
+        "fingerprint": scene_fingerprint(renderer),
     }
     base = path[:-4] if path.endswith(".npz") else path
     with open(base + ".json", "w") as f:
@@ -50,6 +70,11 @@ def load_checkpoint(path: str, renderer):
             f"renderer {renderer.width}x{renderer.height}")
     if meta["n_lanes"] != renderer.n_lanes:
         raise ValueError("wave layout mismatch (different wave_size?)")
+    fp = meta.get("fingerprint")
+    if fp is not None and fp != scene_fingerprint(renderer):
+        raise ValueError(
+            "checkpoint scene/camera fingerprint mismatch: refusing to "
+            "blend accumulation across different scenes or viewpoints")
     data = np.load(base + ".npz")
     renderer._fb = jnp.asarray(data["fb"])
     renderer.spp = int(meta["spp"])

@@ -112,3 +112,51 @@ def test_rmse_helper():
     a = np.zeros((4, 4, 3))
     b = np.ones((4, 4, 3)) * 2
     assert abs(rmse(a, b) - 2.0) < 1e-9
+
+
+def test_cli_backend_flag_mapping():
+    from rayaccel_tpu.cli import build_parser, select_backend
+    p = build_parser()
+    assert select_backend(p.parse_args([])) == "pallas"
+    assert select_backend(p.parse_args(["--no-gpu"])) == "xla"
+    assert select_backend(p.parse_args(["--no-cpu-tracing"])) == "mxu"
+    assert select_backend(p.parse_args(["--backend", "xla",
+                                        "--no-cpu-tracing"])) == "xla"
+
+
+def test_checkpoint_rejects_camera_move(tmp_path):
+    """Same viewport, different viewpoint: the fingerprint must refuse to
+    blend accumulation (the reference resets accumulation on camera moves,
+    main.cpp:248-251)."""
+    s = make_test_scene(viewport=(64, 64), max_depth=1)
+    ctx = racc.create_context(racc.Configuration(wave_size=4096))
+    cam = racc.Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up, s.cam_fov, 64, 64)
+    r = racc.PathTracingRenderer(ctx, cam, s)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint(ckpt, r)
+    cam2 = racc.Camera.look_at(np.asarray(s.cam_origin) + 1.0, s.cam_dir,
+                               s.cam_up, s.cam_fov, 64, 64)
+    r2 = racc.PathTracingRenderer(ctx, cam2, s)
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_checkpoint(ckpt + ".npz", r2)
+
+
+def test_cli_resume_uses_stored_key(tmp_path):
+    """Resuming with a DIFFERENT --seed must continue the checkpointed RNG
+    stream: two more spp after resume equal two more spp without a resume."""
+    from rayaccel_tpu.scene.loader import save_scene
+    s = make_test_scene(viewport=(64, 64))
+    path = str(tmp_path / "scene.bin")
+    save_scene(path, s)
+    common = ["--scene", path, "--quiet", "--wave-size", "4096",
+              "--max-depth", "1", "--backend", "mxu"]
+    a, b = str(tmp_path / "a.pfm"), str(tmp_path / "b.pfm")
+    assert cli_main(common + ["--spp", "3", "--seed", "5", "--out", a]) == 0
+    ck = str(tmp_path / "ck")
+    assert cli_main(common + ["--spp", "1", "--seed", "5", "--out",
+                              str(tmp_path / "x.pfm"), "--checkpoint", ck]) == 0
+    assert cli_main(common + ["--spp", "3", "--seed", "999", "--out", b,
+                              "--checkpoint", ck]) == 0
+    ia = np.fromfile(a, np.float32)
+    ib = np.fromfile(b, np.float32)
+    np.testing.assert_array_equal(ia, ib)

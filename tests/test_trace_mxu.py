@@ -133,3 +133,68 @@ def test_occlusion_respects_active_and_tmax(scenes):
     rays2 = make_rays(o, d, tmin=0.0, tmax=1.0)
     occ2 = np.asarray(trace_occlusion_mxu(cs, rays2, tile=512))
     assert not occ2.any()
+
+
+def _slab_stack_scene(n_slabs=160):
+    """n_slabs stacked quads under a ray column + a far-off ground quad:
+    rays through the stack overlap every slab cluster (forcing pallas
+    work-queue overflow at cluster_size=2), rays over the ground overlap
+    almost nothing (their tile must still be traced)."""
+    from rayaccel_tpu.scene.data import (SceneData, compute_face_normals,
+                                         compute_vertex_normals)
+    verts = []
+    idx = []
+    for i in range(n_slabs):
+        y = 10.0 - 0.05 * i
+        b = len(verts)
+        verts += [(-1, y, -1), (1, y, -1), (1, y, 1), (-1, y, 1)]
+        idx += [(b, b + 1, b + 2), (b, b + 2, b + 3)]
+    b = len(verts)
+    verts += [(90, 0, -10), (110, 0, -10), (110, 0, 10), (90, 0, 10)]
+    idx += [(b, b + 1, b + 2), (b, b + 2, b + 3)]
+    verts = np.asarray(verts, np.float32)
+    idx = np.asarray(idx, np.uint32)
+    return SceneData(
+        vertices=verts, indices=idx,
+        triangle_materials=np.zeros(len(idx), np.uint16),
+        triangle_normals=compute_face_normals(verts, idx),
+        normals=compute_vertex_normals(verts, idx),
+        texcoords=np.zeros((len(verts), 2), np.float32),
+        materials=np.asarray([[0.8, 0.8, 0.8, 1.5]], np.float32),
+    ).validate()
+
+
+def test_pallas_queue_overflow_keeps_all_tiles():
+    """When a tile overlaps more clusters than the largest queue bucket,
+    only that tile's FARTHEST clusters may be dropped (counted in
+    overflow); other tiles keep their queues and their output blocks are
+    still written (regression: global truncation zeroed trailing tiles)."""
+    from rayaccel_tpu.ops.trace_pallas import CAP_BUCKETS, trace_mxu_pallas
+    sd = _slab_stack_scene()
+    cs = compile_clusters(sd, cluster_size=2)
+    assert cs.n_clusters > CAP_BUCKETS[-1]
+
+    tile = 256
+    n = 2 * tile
+    o = np.zeros((n, 3), np.float32)
+    d = np.zeros((n, 3), np.float32)
+    o[:, 0] = np.linspace(-0.9, -0.1, n)   # keep off the quads' diagonals
+    o[:, 1] = 20.0
+    o[:, 2] = 0.3
+    o[tile:, 0] += 100.0         # tile 1 sits over the ground quad
+    d[:, 1] = -1.0
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+
+    res, overflow = trace_mxu_pallas(cs, rays, tile=tile)
+    assert int(overflow) > 0, "test must actually force queue overflow"
+
+    tri = np.asarray(res.hits.tri)
+    t = np.asarray(res.hits.t)
+    # Tile 0: nearest slab (top of the stack) survives the clamp because
+    # the per-tile queue keeps the NEAREST clusters front-to-back.
+    assert np.all(tri[:tile] >= 0)
+    np.testing.assert_allclose(t[:tile], 10.0, atol=1e-4)
+    # Tile 1 (no overflow of its own) must still be fully traced.
+    ground_tris = {len(sd.indices) - 2, len(sd.indices) - 1}
+    assert set(tri[tile:].tolist()) <= ground_tris
+    np.testing.assert_allclose(t[tile:], 20.0, atol=1e-4)
