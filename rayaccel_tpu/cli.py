@@ -42,9 +42,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-cpu-tracing", dest="no_cpu", action="store_true",
                    help="force the MXU throughput engine (reference "
                         "--no-cpu-tracing)")
-    p.add_argument("--backend", choices=["pallas", "mxu", "xla"], default=None,
-                   help="explicit traversal backend")
+    p.add_argument("--backend", choices=["pallas", "mxu", "xla", "sparse"],
+                   default=None, help="explicit traversal backend")
+    p.add_argument("--no-hybrid", dest="no_hybrid", action="store_true",
+                   help="disable hybrid routing (bounce rays on the sparse "
+                        "pair engine); one engine traces everything")
     p.add_argument("--spp", type=int, default=4, help="samples per pixel")
+    p.add_argument("--anim-frames", type=int, default=0,
+                   help="render an animation of N camera positions; each "
+                        "move resets progressive accumulation (the "
+                        "file-sequence analog of the reference's "
+                        "interactive loop, main.cpp:193-282)")
+    p.add_argument("--orbit", type=float, default=0.0,
+                   help="degrees to orbit around the look-at target per "
+                        "animation frame")
+    p.add_argument("--fly", type=float, default=0.0,
+                   help="distance to fly forward per animation frame "
+                        "(the WASD analog, main.cpp:253-266)")
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
@@ -52,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="out.png", help=".png or .pfm output")
     p.add_argument("--checkpoint", help="save/resume accumulation state here")
+    p.add_argument("--profile", action="store_true",
+                   help="measure per-stage timings (trace/shade/regroup/env) "
+                        "after rendering and print the breakdown")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -94,7 +111,8 @@ def main(argv=None) -> int:
     backend = select_backend(args)
     racc.init()
     ctx = racc.create_context(racc.Configuration(
-        backend=backend, wave_size=args.wave_size))
+        backend=backend, wave_size=args.wave_size,
+        hybrid_tracing=not args.no_hybrid))
 
     cam = racc.Camera.look_at(
         scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,
@@ -120,22 +138,63 @@ def main(argv=None) -> int:
                 print(f"resumed at spp={renderer.spp}")
 
     stats = RenderStats()
-    while renderer.spp < args.spp:
-        key = jax.random.fold_in(base_key, renderer.spp)
-        with FrameTimer(stats, renderer) as ft:
-            ft.run(key)
-        if not args.quiet:
-            print(stats.format_line())
+
+    def accumulate(frame_key):
+        while renderer.spp < args.spp:
+            key = jax.random.fold_in(frame_key, renderer.spp)
+            with FrameTimer(stats, renderer) as ft:
+                ft.run(key)
+            if not args.quiet:
+                print(stats.format_line())
+
+    def write(path):
+        hdr = renderer.image()
+        if path.endswith(".pfm"):
+            img.write_pfm(path, hdr.astype(np.float32))
+        else:
+            img.write_png(path, img.tonemap(hdr, 1))
+
+    if args.anim_frames:
+        # Scripted camera path: each movement resets accumulation and
+        # re-renders to --spp, like the reference's interactive loop
+        # (spp reset on move, main.cpp:204-205, 248-251). The camera is a
+        # traced argument, so no frame recompiles.
+        import math
+        import os.path
+        root, ext = os.path.splitext(args.out)
+        target = np.asarray(scene_data.cam_dir, np.float32)
+        up = np.asarray(scene_data.cam_up, np.float32)
+        for f in range(args.anim_frames):
+            if f:
+                if args.orbit:
+                    cam = cam.rotate(math.radians(args.orbit), up,
+                                     pivot=target)
+                if args.fly:
+                    import dataclasses
+                    cam = dataclasses.replace(
+                        cam, origin=(cam.origin
+                                     + cam.forward() * args.fly).astype(
+                                         np.float32))
+                renderer.set_camera(cam)
+                assert renderer.spp == 0  # accumulation reset on move
+            accumulate(jax.random.fold_in(base_key, 7000 + f))
+            path = f"{root}_{f:04d}{ext}"
+            write(path)
+            if not args.quiet:
+                print(f"frame {f}: wrote {path} ({renderer.spp} spp)")
+        return 0
+
+    accumulate(base_key)
 
     if args.checkpoint:
         from rayaccel_tpu.utils.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, renderer, base_key)
 
-    hdr = renderer.image()
-    if args.out.endswith(".pfm"):
-        img.write_pfm(args.out, hdr.astype(np.float32))
-    else:
-        img.write_png(args.out, img.tonemap(hdr, 1))
+    write(args.out)
+    if args.profile:
+        from rayaccel_tpu.utils.profiling import profile_stages
+        stats.stages = profile_stages(renderer)
+        print("stage breakdown:", stats.stages)
     if not args.quiet:
         s = stats.summary()
         print(f"wrote {args.out}: {renderer.spp} spp, "

@@ -28,28 +28,29 @@ class Configuration:
       dense tracer. All produce identical hits and serve as each other's
       oracle, like the reference's ``--no-gpu`` / ``--no-cpu-tracing`` flag
       pair (main.cpp:289-302).
-    - ``allowCpuTracing``       -> ``allow_xla_tracing``: permit the XLA
-      fallback when the Pallas backend is selected (hybrid mode analog).
+    - ``allowCpuTracing``       -> ``hybrid_tracing``: let a second engine
+      share the work by workload kind, the analog of the reference's hybrid
+      scheduling where the CPU helps trace once the GPU saturates
+      (RayAccelerator.cpp:268-300): coherent primary waves run on the
+      dense tile engine, incoherent bounce waves on the pair-centric
+      sparse engine (ops/trace_sparse.py).
     - ``cpuThreads``/``gpuSubmissionThreads`` -> gone: XLA owns scheduling;
       the mesh axis in :mod:`rayaccel_tpu.parallel` is the concurrency knob.
     - ``maxRaysInFlight`` (128*128*16)        -> ``max_rays_in_flight``: the
-      persistent ray-pool size per chip; one wavefront wave traces at most
-      this many rays.
-    - ``maxRaysPerSpawn`` (128*128)           -> ``max_rays_per_spawn``: spawn
-      granularity; one tile of primary rays.
-    - ``cpuTestBatch``/``cpuShadeBatch``      -> ``trace_block``/``shade_block``:
-      block sizes used by the Pallas kernels' grids.
+      per-chip ray-pool cap; a wave is clamped to at most this many lanes.
+    - ``maxRaysPerSpawn``/``cpuShadeBatch``   -> gone: spawn and shade fuse
+      into the compiled wave loop, so there is no separate granularity.
+    - ``cpuTestBatch``                        -> ``trace_block``: ray-tile
+      size of the dense trace kernels' grids.
     - ``rayStreamBatchSize`` (11264, sized so the iGPU stays occupied,
       RayAccelerator.cpp:440) -> ``wave_size``: rays per traced wave; sized to
       keep the VPU's 8x128 lanes and the HBM pipeline occupied.
     """
 
     backend: str = "mxu"                    # "mxu" | "xla" | "pallas"
-    allow_xla_tracing: bool = True
+    hybrid_tracing: bool = True
     max_rays_in_flight: int = 128 * 128 * 16
-    max_rays_per_spawn: int = 128 * 128
     trace_block: int = 1024
-    shade_block: int = 8192
     wave_size: int = 128 * 128
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,
     # Kernels.h:166). Kept configurable because it scales wavefront state.
@@ -69,13 +70,11 @@ class Configuration:
     mesh_shape: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
-        if self.backend not in ("mxu", "xla", "pallas", "bruteforce"):
+        if self.backend not in ("mxu", "xla", "pallas", "sparse",
+                                "bruteforce"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.sampler not in ("uniform", "stratified"):
             raise ValueError(f"unknown sampler {self.sampler!r}")
-        if self.backend == "pallas" and not self.allow_xla_tracing:
-            # Mirrors the reference's conflicting-flags check (main.cpp:304).
-            pass  # pallas-only is valid; the invalid combo is neither.
         if self.max_rays_in_flight <= 0 or self.wave_size <= 0:
             raise ValueError("ray counts must be positive")
         if self.wave_size % 8 != 0:

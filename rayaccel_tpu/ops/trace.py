@@ -184,6 +184,94 @@ def trace_bvh(scene: TpuScene, rays: Rays, env: Environment | None = None,
     )
 
 
+@partial(jax.jit, static_argnames=("stack_depth",))
+def trace_occlusion_bvh(scene: TpuScene, rays: Rays,
+                        active: jnp.ndarray | None = None,
+                        stack_depth: int = 48) -> jnp.ndarray:
+    """Any-hit (occlusion/shadow) query on the lockstep BVH engine: True
+    where some triangle blocks the ray within [tmin, tmax].
+
+    The early-exit analog of the traversal kernel's shrinking-tMax
+    ordered descent (Kernels.h:190-210) taken to its limit: a lane whose
+    pair test hits ANYTHING retires immediately (cur -> DONE), no
+    closest-t race, no barycentric bookkeeping — measurably cheaper than
+    a closest-hit traversal for shadow rays.
+    """
+    R = rays.o.shape[0]
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    ood = tuple(-o[a] * inv_d[a] for a in range(3))
+
+    if active is None:
+        cur0 = jnp.zeros((R,), jnp.int32)
+    else:
+        cur0 = jnp.where(active, jnp.int32(0), DONE)
+
+    level = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, R), 0)
+    zi = cur0 * 0
+    state = dict(
+        cur=cur0,
+        sp=zi,
+        stack=jnp.broadcast_to(zi[None, :], (stack_depth, R)),
+        occluded=cur0 < -1,
+    )
+
+    def cond(s):
+        return jnp.any(s["cur"] != DONE)
+
+    def body(s):
+        cur, sp, stack = s["cur"], s["sp"], s["stack"]
+
+        is_node = (cur >= 0) & (cur != DONE) & (cur != POP)
+        node_idx = jnp.where(is_node, cur, 0)
+        row = jnp.take(scene.nodes, node_idx, axis=0)
+        c0 = _bitcast_i32(row[:, 12])
+        c1 = _bitcast_i32(row[:, 13])
+        hit0, _ = aabb_hit_soa((row[:, 0], row[:, 1], row[:, 2]),
+                               (row[:, 3], row[:, 4], row[:, 5]),
+                               inv_d, ood, rays.tmin, rays.tmax)
+        hit1, _ = aabb_hit_soa((row[:, 6], row[:, 7], row[:, 8]),
+                               (row[:, 9], row[:, 10], row[:, 11]),
+                               inv_d, ood, rays.tmin, rays.tmax)
+        # Any-hit: no near/far ordering needed — descend 0 first, push 1.
+        node_next = jnp.where(hit0, c0, jnp.where(hit1, c1, POP))
+        push = is_node & hit0 & hit1
+        stack = jnp.where((level == sp[None, :]) & push[None, :],
+                          c1[None, :], stack)
+        sp = sp + push.astype(jnp.int32)
+
+        is_leaf = cur < 0
+        enc = jnp.where(is_leaf, -cur - 1, 0)
+        first = enc & _LEAF_MASK
+        count = jax.lax.shift_right_logical(enc, 24)
+        prow = jnp.take(scene.pairs, first, axis=0)
+        ph = triangle_pair_intersect_soa(
+            tuple(prow[:, k] for k in range(12)), o, d, rays.tmin, rays.tmax)
+        hit_ok = is_leaf & (count > 0) & ph.valid
+        occluded = s["occluded"] | hit_ok
+
+        count2 = count - 1
+        leaf_next = jnp.where(hit_ok, DONE,           # early exit on any hit
+                              jnp.where(count2 > 0,
+                                        -((first + 1) + (count2 << 24)) - 1,
+                                        POP))
+        nxt = jnp.where(is_node, node_next,
+                        jnp.where(is_leaf, leaf_next, DONE))
+
+        need_pop = nxt == POP
+        can_pop = need_pop & (sp > 0)
+        sp = sp - can_pop.astype(jnp.int32)
+        popped = jnp.sum(jnp.where((level == sp[None, :]) & can_pop[None, :],
+                                   stack, 0), axis=0)
+        nxt = jnp.where(need_pop, jnp.where(can_pop, popped, DONE), nxt)
+        return dict(cur=nxt, sp=sp, stack=stack, occluded=occluded)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["occluded"]
+
+
 def trace(scene, rays: Rays, env: Environment | None = None,
           backend: str = "xla", stack_depth: int = 48) -> Hits:
     """Backend dispatcher, analog of the reference's engine selection
@@ -198,6 +286,9 @@ def trace(scene, rays: Rays, env: Environment | None = None,
     if backend == "pallas":
         from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
         return trace_mxu_pallas(scene, rays, env)[0].hits
+    if backend == "sparse":
+        from rayaccel_tpu.ops.trace_sparse import trace_sparse
+        return trace_sparse(scene, rays, env)[0].hits
     if backend == "bruteforce":
         from rayaccel_tpu.ops.bruteforce import trace_bruteforce
         hits = trace_bruteforce(scene.tri_verts, rays)

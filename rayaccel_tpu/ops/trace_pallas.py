@@ -140,6 +140,190 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
         worst_ref[0] = jnp.max(best_i)
 
 
+def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile):
+    """Dense cull + front-to-back per-tile work queue (shared by the
+    closest-hit and occlusion kernels). Returns (items, entries, n_items,
+    overflow): packed ``tile<<16 | cluster`` ids, tile-major, per-tile
+    runs padded to K_PER_STEP, every tile guaranteed >= 1 item."""
+    R = T * tile
+    n_c = cs.n_clusters
+    K = K_PER_STEP
+
+    t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
+    t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
+    for a in range(3):
+        tn = (cs.cl_bbmin[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        tf = (cs.cl_bbmax[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    entry = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), _INF)
+    tile_entry = entry.reshape(T, tile, n_c).min(axis=1)     # (T, N_c)
+    tile_entry = tile_entry.at[:, 0].min(0.0)  # force cluster 0 everywhere
+
+    order = jnp.argsort(tile_entry, axis=1)
+    sorted_entry = jnp.take_along_axis(tile_entry, order, axis=1)
+    counts = jnp.sum((tile_entry < _INF).astype(jnp.int32), axis=1)
+    counts_pad = -(-counts // K) * K
+    # Clamp each tile's queue to the largest bucket BEFORE flat packing:
+    # oversubscribed tiles drop only their FARTHEST clusters (front-to-back
+    # order) and every tile keeps >=1 item, so every output block is
+    # written. Global truncation of the flat list would silently zero out
+    # trailing tiles instead.
+    counts_kept = jnp.minimum(counts_pad, CAP_BUCKETS[-1])
+    # The rank lattice must be wide enough for K-padded counts (counts_pad
+    # can exceed n_c for tiny scenes).
+    n_cp = -(-n_c // K) * K
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, n_cp), 1)
+    k_mask = kk < counts_kept[:, None]
+
+    cap_max = T * CAP_BUCKETS[-1]
+    total = jnp.sum(counts_kept)
+    flat_pos = jnp.nonzero(k_mask.reshape(-1), size=cap_max, fill_value=0)[0]
+    n_items = total
+    last = flat_pos[jnp.maximum(n_items - 1, 0)]
+    lane = jnp.arange(cap_max)
+    flat_pos = jnp.where(lane < n_items, flat_pos, last)
+    item_tile = (flat_pos // n_cp).astype(jnp.int32)
+    # Clamp the within-tile rank to the real count: padding repeats the
+    # tile's last (farthest) cluster — idempotent in the kernel.
+    rank = jnp.minimum((flat_pos % n_cp).astype(jnp.int32),
+                       jnp.take(counts, item_tile) - 1)
+    src = item_tile * n_c + rank
+    item_cluster = jnp.take(order.reshape(-1), src).astype(jnp.int32)
+    items = (item_tile << 16) | item_cluster
+    entries = jax.lax.bitcast_convert_type(
+        jnp.take(sorted_entry.reshape(-1), src), jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - counts_kept, 0))
+    return items, entries, n_items, overflow
+
+
+def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
+    """Any-hit work-queue kernel: per-lane occluded flags, whole-tile
+    early-out once every lane is occluded (the any-hit analog of the
+    traversal kernel's early-exit semantics, Kernels.h:190-210)."""
+    K = K_PER_STEP
+    G_refs = refs[:K]
+    out_ref, done_ref = refs[K], refs[K + 1]
+    C = G_refs[0].shape[2] // 4
+    tile = F_ref.shape[1]
+    i = pl.program_id(0)
+
+    packed = items_ref[i * K]
+    prev = items_ref[jnp.maximum(i - 1, 0) * K]
+    first = jnp.logical_or(i == 0, (packed >> 16) != (prev >> 16))
+    live = i * K < n_ref[0]
+
+    @pl.when(first)
+    def _init():
+        out_ref[0] = jnp.zeros((tile, OUT_COLS), jnp.float32)
+        done_ref[0] = 0
+
+    @pl.when(live & (done_ref[0] == 0))
+    def _step():
+        Fm = F_ref[0]                               # (tile, 16)
+        tmin = Fm[:, 10][:, None]
+        tmax = Fm[:, 11][:, None]
+        occ = out_ref[0][:, 0] > 0
+        for k in range(K):
+            S = jax.lax.dot(Fm, G_refs[k][0], precision=precision)
+            det = S[:, 0 * C:1 * C]
+            u_n = S[:, 1 * C:2 * C]
+            v_n = S[:, 2 * C:3 * C]
+            t_n = S[:, 3 * C:4 * C]
+            det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
+            u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
+            v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
+            sign_ok = ((u_i ^ det_i) | (v_i ^ det_i)) >= 0
+            ad = jnp.abs(det)
+            ts = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(t_n, jnp.int32)
+                ^ (det_i & _SIGN), jnp.float32)
+            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+                     & (ts > ad * tmin) & (ts <= ad * tmax))
+            occ = occ | jnp.any(valid, axis=1)
+        out_ref[0] = jnp.concatenate(
+            [occ.astype(jnp.float32)[:, None],
+             jnp.zeros((tile, OUT_COLS - 1), jnp.float32)], axis=1)
+        done_ref[0] = jnp.all(occ).astype(jnp.int32)
+
+
+def _make_occl_call(cap, T, tile, C, precision, interpret):
+    K = K_PER_STEP
+    kern = partial(_occl_kernel, precision=precision)
+
+    def g_spec(k):
+        return pl.BlockSpec(
+            (1, RAY_FEATURES, 4 * C),
+            lambda i, items, entries, n, k=k: (items[i * K + k] & 0xFFFF,
+                                               0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(cap // K,),
+        in_specs=[
+            pl.BlockSpec((1, tile, RAY_FEATURES),
+                         lambda i, items, entries, n: (items[i * K] >> 16,
+                                                       0, 0)),
+        ] + [g_spec(k) for k in range(K)],
+        out_specs=pl.BlockSpec(
+            (1, tile, OUT_COLS),
+            lambda i, items, entries, n: (items[i * K] >> 16, 0, 0)),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+
+    def call(items, entries, n_items, F, G3):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((T, tile, OUT_COLS), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(items[:cap], entries[:cap], n_items[None], F, *([G3] * K))
+
+    return call
+
+
+@partial(jax.jit, static_argnames=("tile", "precision", "interpret"))
+def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
+                           active: jnp.ndarray | None = None,
+                           tile: int = 512,
+                           precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Any-hit occlusion query on the Pallas work-queue engine: True where
+    some triangle blocks the ray within [tmin, tmax]. Cheaper than the
+    closest-hit kernel: no winner tracking or reconstruction, and a tile
+    retires from the queue once every lane is occluded."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.HIGH)
+    R = rays.o.shape[0]
+    assert R % tile == 0
+    T = R // tile
+    C = cs.cluster_size
+    n_c = cs.n_clusters
+
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    tmin = rays.tmin
+    tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
+
+    items, entries, n_items, _ = _cull_and_queue(
+        cs, o, inv_d, tmin, tmax_eff, T, tile)
+
+    F = _ray_features(o, d)
+    F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff).reshape(T, tile,
+                                                              RAY_FEATURES)
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+
+    calls = [_make_occl_call(T * b, T, tile, C, prec, interpret)
+             for b in CAP_BUCKETS]
+    branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
+    out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
+    return out[:, :, 0].reshape(R) > 0
+
+
 def _make_call(cap, T, tile, C, precision, interpret):
     K = K_PER_STEP
     kern = partial(_kernel, precision=precision)
@@ -200,53 +384,9 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     tmin = rays.tmin
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
-    # ---- dense cull ----
-    t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
-    t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
-    for a in range(3):
-        tn = (cs.cl_bbmin[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
-        tf = (cs.cl_bbmax[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
-        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
-        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
-    entry = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), _INF)
-    tile_entry = entry.reshape(T, tile, n_c).min(axis=1)     # (T, N_c)
-    tile_entry = tile_entry.at[:, 0].min(0.0)  # force cluster 0 everywhere
-
-    # ---- front-to-back queue, per-tile runs padded to K ----
-    order = jnp.argsort(tile_entry, axis=1)
-    sorted_entry = jnp.take_along_axis(tile_entry, order, axis=1)
-    counts = jnp.sum((tile_entry < _INF).astype(jnp.int32), axis=1)
-    counts_pad = -(-counts // K) * K
-    # Clamp each tile's queue to the largest bucket BEFORE flat packing:
-    # oversubscribed tiles drop only their FARTHEST clusters (front-to-back
-    # order) and every tile keeps >=1 item, so every output block is
-    # written. Global truncation of the flat list would silently zero out
-    # trailing tiles instead.
-    counts_kept = jnp.minimum(counts_pad, CAP_BUCKETS[-1])
-    # The rank lattice must be wide enough for K-padded counts (counts_pad
-    # can exceed n_c for tiny scenes).
-    n_cp = -(-n_c // K) * K
-    kk = jax.lax.broadcasted_iota(jnp.int32, (T, n_cp), 1)
-    k_mask = kk < counts_kept[:, None]
-
-    cap_max = T * CAP_BUCKETS[-1]
-    total = jnp.sum(counts_kept)
-    flat_pos = jnp.nonzero(k_mask.reshape(-1), size=cap_max, fill_value=0)[0]
-    n_items = total
-    last = flat_pos[jnp.maximum(n_items - 1, 0)]
-    lane = jnp.arange(cap_max)
-    flat_pos = jnp.where(lane < n_items, flat_pos, last)
-    item_tile = (flat_pos // n_cp).astype(jnp.int32)
-    # Clamp the within-tile rank to the real count: padding repeats the
-    # tile's last (farthest) cluster — idempotent in the kernel.
-    rank = jnp.minimum((flat_pos % n_cp).astype(jnp.int32),
-                       jnp.take(counts, item_tile) - 1)
-    src = item_tile * n_c + rank
-    item_cluster = jnp.take(order.reshape(-1), src).astype(jnp.int32)
-    items = (item_tile << 16) | item_cluster
-    entries = jax.lax.bitcast_convert_type(
-        jnp.take(sorted_entry.reshape(-1), src), jnp.int32)
-    overflow = jnp.sum(jnp.maximum(counts - counts_kept, 0))
+    # ---- dense cull + front-to-back per-tile work queue ----
+    items, entries, n_items, overflow = _cull_and_queue(
+        cs, o, inv_d, tmin, tmax_eff, T, tile)
 
     # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)

@@ -1,0 +1,329 @@
+"""Pair-centric sparse tracer — bounce-ray engine.
+
+The dense tile engines (ops/trace_mxu.py, ops/trace_pallas.py) pay
+``tile_union x C`` intersection tests per ray: every ray in a tile tests
+every cluster ANY ray of the tile overlaps. Primary tiles union ~7
+clusters, but bounce tiles union 80-140 even after regrouping, while the
+per-ray overlap is only ~2.0 (docs/PERF_NOTES.md) — a ~40x dense-work
+multiplier. This engine makes work scale with the ACTUAL overlap: each
+(ray, cluster) overlap pair becomes one lane of a flat work array.
+
+Pipeline (all sizes static; measured costs for a 65k wave in brackets):
+
+1. Dense cull: entry distances for every (ray, cluster) [0.1ms].
+2. Nearest-K selection per ray: K rounds of masked argmin-extract over
+   the entry matrix build a (K, R) lattice of cluster ids, nearest
+   first — so clamping a ray's overlap set to K drops only its FARTHEST
+   clusters (jax.lax.top_k measured 6.7ms; this is ~K passes of 0.1ms).
+3. Flatten + sort pairs by cluster (dead pairs last) [0.4ms], truncate
+   to MAXP (counted in ``overflow``), gather each pair's ray-feature row
+   [3ms — the dominant per-pair cost].
+4. Pallas work-queue kernel over (block, cluster) items: blocks are
+   SP_TILE-pair slices of the sorted array; an item per distinct cluster
+   per block (run boundaries). Each item is one (SP_TILE,16)@(16,4C)
+   MXU matmul; lanes of other clusters in the block are masked. Item
+   count ~= pairs/SP_TILE + cluster runs — independent of tile unions.
+5. Merge: per-pair packed (score | rank | column) scatter-mins into a
+   per-ray best [1.8ms]; the winning pair's cluster comes from the (K, R)
+   lattice by rank; exact fp32 Moller-Trumbore refine of the winner (the
+   same reconstruction the dense pallas kernel uses).
+
+The reference analog is ordered traversal visiting only overlapped nodes
+(Kernels.h:169-211): per-ray work proportional to per-ray overlap. This
+engine is that property rebuilt for a machine that wants flat lanes and
+dense matmuls instead of per-ray stacks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rayaccel_tpu.environment import Environment, sample_environment_onehot
+from rayaccel_tpu.ops.intersect import safe_inv_dir
+from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
+from rayaccel_tpu.scene.clusters import RAY_FEATURES, ClusterScene
+from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
+
+OUT_COLS = 8
+_SIGN = -2147483648
+_RANK_SHIFT = 20          # rank rides above the cluster id in lane words
+_CL_MASK = (1 << _RANK_SHIFT) - 1
+_DEAD_CLUSTER = 1 << 16   # sorts after every real cluster id
+_MISS_BITS = 0x7F000000   # packed-score miss marker (huge positive float)
+_MISS_F32 = float(__import__("numpy").int32(_MISS_BITS).view(
+    __import__("numpy").float32))  # same bits as a host float constant
+
+# Work-queue capacity buckets (items): dispatch picks the smallest that
+# fits, so sparse waves don't pay the worst case's grid-step tax.
+ITEM_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
+            precision):
+    """One item = (pair block, cluster): intersect the block's rays with
+    the cluster, write packed (score | rank | col) for the lanes whose
+    pair IS this cluster. A lane belongs to exactly one cluster, so
+    exactly one item writes it; the first item of each block initializes
+    the whole block to the miss marker.
+
+    The per-lane word (cluster | rank << 20) rides as raw bits in the
+    gathered F row's unused column 12 (a denormal float; the matching G
+    rows are zero, so it contributes nothing to the matmul) — a separate
+    int input block would violate the TPU (8, 128) block-shape rule."""
+    C = G_ref.shape[2] // 4
+    sp = F_ref.shape[1]
+    i = pl.program_id(0)
+
+    packed_item = items_ref[i]
+    prev_item = items_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, (packed_item >> 16) != (prev_item >> 16))
+    live = i < n_ref[0]
+
+    @pl.when(first)
+    def _init():
+        # Host-computed float with the _MISS_BITS pattern (Mosaic cannot
+        # bitcast scalars in-kernel).
+        out_ref[0] = jnp.full((sp, OUT_COLS), _MISS_F32, jnp.float32)
+
+    @pl.when(live)
+    def _step():
+        Fm = F_ref[0]                                   # (sp, 16)
+        cluster = packed_item & 0xFFFF
+        lanes = jax.lax.bitcast_convert_type(Fm[:, 12], jnp.int32)
+        mask = (lanes & _CL_MASK) == cluster
+        rank = jax.lax.shift_right_logical(lanes, _RANK_SHIFT)
+
+        tmin = Fm[:, 10][:, None]
+        S = jax.lax.dot(Fm, G_ref[0], precision=precision)
+        det = S[:, 0 * C:1 * C]
+        u_n = S[:, 1 * C:2 * C]
+        v_n = S[:, 2 * C:3 * C]
+        t_n = S[:, 3 * C:4 * C]
+        det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
+        u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
+        v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
+        sign_ok = ((u_i ^ det_i) | (v_i ^ det_i)) >= 0
+        ad = jnp.abs(det)
+        ts = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(t_n, jnp.int32)
+            ^ (det_i & _SIGN), jnp.float32)
+        tmax = Fm[:, 11][:, None]
+        valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+                 & (ts > ad * tmin) & (ts < ad * tmax))
+        # Exact division (unlike the dense kernel's approx reciprocal):
+        # this body is grid-tax-bound, so the extra VPU cycles are free
+        # and the only ranking noise left is the low-bit packing.
+        score = jnp.where(valid, ts / jnp.maximum(ad, 1e-37), 3e38)
+
+        # Pack candidate column + pair rank into the score's low mantissa
+        # (col_bits + 3 bits; rel. error ~2^-13 — only reorders candidates
+        # closer than that, and the winner is refined exactly afterwards).
+        low = (1 << (col_bits + 3)) - 1
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (sp, C), 1)
+        sp_bits = (((jax.lax.bitcast_convert_type(score, jnp.int32) | low)
+                    ^ low)
+                   | (rank[:, None] << col_bits) | col_ids)
+        m = jnp.min(sp_bits, axis=1)                     # (sp,)
+
+        cur = jax.lax.bitcast_convert_type(out_ref[0][:, 0], jnp.int32)
+        new = jnp.where(mask, jnp.minimum(m, cur), cur)
+        out_ref[0] = jnp.concatenate([
+            jax.lax.bitcast_convert_type(new, jnp.float32)[:, None],
+            out_ref[0][:, 1:],
+        ], axis=1)
+
+
+def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
+    kern = partial(_kernel, col_bits=col_bits, precision=precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, sp, RAY_FEATURES),
+                         lambda i, items, n: (items[i] >> 16, 0, 0)),
+            pl.BlockSpec((1, RAY_FEATURES, 4 * C),
+                         lambda i, items, n: (items[i] & 0xFFFF, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sp, OUT_COLS),
+            lambda i, items, n: (items[i] >> 16, 0, 0)),
+    )
+
+    def call(items, n_items, Fp, G3):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, sp, OUT_COLS), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(items[:n_steps], n_items[None], Fp, G3)
+
+    return call
+
+
+def _nearest_k(entry, k):
+    """(R, N_c) entry matrix -> ((k, R) entries, (k, R) cluster ids),
+    nearest first; exhausted ranks get entry _INF / id 0. K rounds of
+    masked argmin-extract (measured ~6x cheaper than jax.lax.top_k)."""
+    R, n_c = entry.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (R, n_c), 1)
+    vals, ids = [], []
+    for _ in range(k):
+        j = jnp.argmin(entry, axis=1)
+        oh = iota == j[:, None]
+        v = jnp.sum(jnp.where(oh, entry, 0.0), axis=1)
+        vals.append(v)
+        ids.append(j.astype(jnp.int32))
+        entry = jnp.where(oh, _INF, entry)
+    return jnp.stack(vals), jnp.stack(ids)
+
+
+@partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
+                                   "precision", "interpret"))
+def trace_sparse(cs: ClusterScene, rays: Rays,
+                 env: Environment | None = None,
+                 active: jnp.ndarray | None = None,
+                 k_pairs: int = 8, pair_budget: int = 4,
+                 sp_tile: int = 1024,
+                 precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
+                 interpret: bool | None = None):
+    """Pair-centric trace. Returns (MxuHits, overflow).
+
+    ``k_pairs``: nearest clusters kept per ray (rays overlapping more drop
+    the farthest, counted in overflow). ``pair_budget``: global pair-array
+    length in pairs per ray (MAXP = pair_budget * R).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.HIGH)
+    R = rays.o.shape[0]
+    C = cs.cluster_size
+    n_c = cs.n_clusters
+    col_bits = max((C - 1).bit_length(), 1)
+    K = min(k_pairs, n_c)
+    SP = sp_tile
+    MAXP = max(SP, -(-pair_budget * R // SP) * SP)
+    B = MAXP // SP
+
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    tmin = rays.tmin
+    tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax,
+                                                          -1.0)
+
+    # ---- 1. dense cull ----
+    t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
+    t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
+    for a in range(3):
+        tn = (cs.cl_bbmin[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        tf = (cs.cl_bbmax[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    entry = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), _INF)     # (R, N_c)
+
+    # ---- 2. nearest-K lattice ----
+    lat_entry, lat_id = _nearest_k(entry, K)                     # (K, R)
+    lat_valid = lat_entry < _INF
+    total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
+    clamp_drop = jnp.sum((entry < _INF).astype(jnp.int32)) - total_pairs
+
+    # ---- 3. sort pairs by cluster; truncate to MAXP; gather F rows ----
+    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :],
+                               (K, R)).reshape(-1)
+    ranks = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None], (K, R)).reshape(-1)
+    keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
+                     jnp.int32(_DEAD_CLUSTER))
+    cl_s, ray_s, rank_s = jax.lax.sort((keys, ray_ids, ranks), num_keys=1)
+    if K * R >= MAXP:
+        cl_s, ray_s, rank_s = cl_s[:MAXP], ray_s[:MAXP], rank_s[:MAXP]
+    else:
+        pad = MAXP - K * R
+        cl_s = jnp.pad(cl_s, (0, pad), constant_values=_DEAD_CLUSTER)
+        ray_s = jnp.pad(ray_s, (0, pad))
+        rank_s = jnp.pad(rank_s, (0, pad))
+    overflow = clamp_drop + jnp.maximum(total_pairs - MAXP, 0)
+
+    F = _ray_features(o, d)
+    F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
+    Fp = jnp.take(F, ray_s, axis=0)                      # (MAXP, 16)
+    lanes = jnp.where(cl_s >= _DEAD_CLUSTER, jnp.int32(_DEAD_CLUSTER),
+                      cl_s | (rank_s << _RANK_SHIFT))
+    # Lane words ride in F column 12 as raw bits (see _kernel docstring).
+    Fp = Fp.at[:, 12].set(
+        jax.lax.bitcast_convert_type(lanes, jnp.float32))
+    Fp = Fp.reshape(B, SP, RAY_FEATURES)
+
+    # ---- 4. work items: one per cluster run per block ----
+    pos = jnp.arange(MAXP, dtype=jnp.int32)
+    prev = jnp.concatenate([cl_s[:1] - 1, cl_s[:-1]])
+    boundary = (cl_s < _DEAD_CLUSTER) & ((pos % SP == 0) | (cl_s != prev))
+    n_items = jnp.sum(boundary.astype(jnp.int32))
+    bpos = jax.lax.sort(jnp.where(boundary, pos, jnp.int32(MAXP)))
+    max_items = B + n_c
+    bpos = bpos[:max_items]
+    safe = jnp.minimum(bpos, MAXP - 1)
+    items = ((safe // SP) << 16) | (jnp.take(cl_s, safe) & 0xFFFF)
+    last = items[jnp.maximum(n_items - 1, 0)]
+    items = jnp.where(jnp.arange(max_items) < n_items, items, last)
+
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    buckets = [b for b in ITEM_BUCKETS if b < max_items] + [max_items]
+    calls = [_make_call(b, B, SP, C, col_bits, prec, interpret)
+             for b in buckets]
+    branch = sum((n_items > b).astype(jnp.int32) for b in buckets[:-1])
+    out = jax.lax.switch(branch, calls, items, n_items, Fp, G3)
+
+    # ---- 5. per-ray merge + exact refine of the winner ----
+    packed = jax.lax.bitcast_convert_type(out[:, :, 0],
+                                          jnp.int32).reshape(MAXP)
+    scatter_ray = jnp.where(cl_s < _DEAD_CLUSTER, ray_s, R)  # drop dead
+    best = jnp.full((R,), jnp.int32(_MISS_BITS))
+    best = best.at[scatter_ray].min(packed, mode="drop")
+
+    hit = best < _MISS_BITS
+    rank_w = (best >> col_bits) & 7
+    col_w = best & ((1 << col_bits) - 1)
+    ksel = (jax.lax.broadcasted_iota(jnp.int32, (K, R), 0) == rank_w[None, :])
+    cluster_w = jnp.sum(jnp.where(ksel, lat_id, 0), axis=0)
+    slot = jnp.where(hit, cluster_w * C + col_w, 0)
+
+    tri = jnp.take(cs.tri_id, slot)
+    geom = jnp.take(cs.tri_geom, slot, axis=0)
+    attr = jnp.take(cs.attrs, slot, axis=0)
+
+    v0 = geom[:, 0:3]
+    e1 = geom[:, 3:6]
+    e2 = geom[:, 6:9]
+    pvec = jnp.cross(rays.d, e2)
+    det = jnp.sum(pvec * e1, axis=-1)
+    inv = 1.0 / jnp.where(det == 0, 1.0, det)
+    tvec = rays.o - v0
+    u = jnp.sum(pvec * tvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(qvec * rays.d, axis=-1) * inv
+    t = jnp.sum(qvec * e2, axis=-1) * inv
+
+    if env is not None:
+        miss_rgb = sample_environment_onehot(env, rays.d)
+        mask = hit if active is None else (hit | ~active)
+        miss_rgb = jnp.where(mask[:, None], 0.0, miss_rgb)
+    else:
+        miss_rgb = jnp.zeros((R, 3), jnp.float32)
+
+    hits = Hits(
+        tri=jnp.where(hit, tri, INVALID_TRIANGLE),
+        t=jnp.where(hit, t, rays.tmax),
+        u=jnp.where(hit, u, 0.0),
+        v=jnp.where(hit, v, 0.0),
+        miss_rgb=miss_rgb,
+    )
+    return MxuHits(hits=hits, attrs=attr), overflow

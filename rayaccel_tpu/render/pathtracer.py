@@ -40,6 +40,7 @@ from rayaccel_tpu.materials import sample_reflective_diffuse
 from rayaccel_tpu.ops.trace import trace_bvh
 from rayaccel_tpu.ops.trace_mxu import trace_mxu
 from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+from rayaccel_tpu.ops.trace_sparse import trace_sparse
 from rayaccel_tpu.render.regroup import coherence_key, regroup_state
 from rayaccel_tpu.render.shading import (interpolate_surface, merge_rays,
                                          spawn_secondary, surface_from_attrs)
@@ -65,19 +66,27 @@ def pt_shade(surf, rays, weight, key):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
-                                   "stack_depth", "regroup", "sampler"))
+                                   "stack_depth", "regroup", "sampler",
+                                   "bounce_backend"))
 def pt_trace_wave(scene, env: Environment, cam_arrays,
                   x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                   key: jax.Array, max_depth: int, backend: str = "mxu",
                   tile: int = 512, stack_depth: int = 48,
                   regroup: bool = True, sampler: str = "uniform",
                   spp_index: jnp.ndarray | None = None,
-                  sampler_key: jax.Array | None = None):
+                  sampler_key: jax.Array | None = None,
+                  bounce_backend: str | None = None):
     """Trace one wave of pixels to completion (all bounces).
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
     radiance; ``dropped`` counts work-queue overflow items from the
-    pallas backend (0 elsewhere).
+    pallas/sparse backends (0 elsewhere).
+
+    ``bounce_backend`` routes bounce traces through a different engine
+    than the primary trace — the hybrid-scheduling analog of the
+    reference's CPU-helps-when-GPU-saturated policy
+    (RayAccelerator.cpp:268-300): coherent primary tiles suit the dense
+    tile engines, incoherent bounce waves the pair-centric sparse engine.
 
     With ``regroup`` (cluster backends only), the whole lane state is
     re-sorted between bounces by a spatial coherence key (dead lanes
@@ -86,6 +95,8 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     framebuffer unsort.
     """
     R = x.shape[0]
+    if bounce_backend is None:
+        bounce_backend = backend
     if sampler == "stratified":
         # Low-discrepancy progressive jitter (BASELINE config 4): the R2
         # sequence advanced per sample, Cranley-Patterson-rotated per
@@ -109,7 +120,7 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     else:
         rays = generate_pixel_rays(cam_arrays, x, y,
                                    key=jax.random.fold_in(key, 0))
-    do_regroup = regroup and backend in ("mxu", "pallas")
+    do_regroup = regroup and backend in ("mxu", "pallas", "sparse")
     if do_regroup:
         bmin = jnp.min(scene.cl_bbmin, axis=0)
         bext = jnp.max(scene.cl_bbmax, axis=0) - bmin
@@ -128,30 +139,31 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
         bounce=jnp.int32(0),
     )
 
-    def trace_and_surface(rays, alive):
-        if backend == "pallas":
+    def trace_and_surface(rays, alive, bk):
+        if bk == "xla":
+            hits = trace_bvh(scene, rays, env=None, active=alive,
+                             stack_depth=stack_depth)
+            surf = interpolate_surface(scene, rays, hits,
+                                       alive & (hits.tri >= 0))
+            return hits, surf, jnp.int32(0)
+        if bk == "pallas":
             res, overflow = trace_mxu_pallas(scene, rays, env=None,
                                              active=alive, tile=tile)
-            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                      res.hits)
-            return res.hits, surf, overflow
-        if backend == "mxu":
+        elif bk == "sparse":
+            res, overflow = trace_sparse(scene, rays, env=None, active=alive)
+        else:
             res = trace_mxu(scene, rays, env=None, active=alive, tile=tile)
-            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                      res.hits)
-            return res.hits, surf, jnp.int32(0)
-        hits = trace_bvh(scene, rays, env=None, active=alive,
-                         stack_depth=stack_depth)
-        surf = interpolate_surface(scene, rays, hits,
-                                   alive & (hits.tri >= 0))
-        return hits, surf, jnp.int32(0)
+            overflow = jnp.int32(0)
+        surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                  res.hits)
+        return res.hits, surf, overflow
 
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s):
+    def body(s, bk):
         rays, alive = s["rays"], s["alive"]
-        hits, surf, overflow = trace_and_surface(rays, alive)
+        hits, surf, overflow = trace_and_surface(rays, alive, bk)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
         # Terminal miss: remember direction+weight; the env probe lookup is
@@ -189,7 +201,12 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
             bounce=s["bounce"] + 1,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
+    # Peel the primary trace out of the loop so it can use a different
+    # engine than the bounce traces (hybrid routing). lax.cond keeps the
+    # all-dead-wave (padding) case as cheap as the old while_loop did.
+    state = jax.lax.cond(jnp.any(state["alive"]),
+                         partial(body, bk=backend), lambda s: s, state)
+    out = jax.lax.while_loop(cond, partial(body, bk=bounce_backend), state)
     env_rgb = sample_environment_onehot(env, out["miss_d"])
     radiance = out["miss_w"] * env_rgb
     if do_regroup:
@@ -210,17 +227,25 @@ class PathTracingRenderer(TiledRenderer):
         self.camera = camera
         self.scene_data = scene_data
         self.backend = context.configuration.backend
+        cluster_backends = ("mxu", "pallas", "sparse")
         if tpu_scene is not None:
             self.scene = tpu_scene
             if isinstance(tpu_scene, ClusterScene):
-                if self.backend not in ("mxu", "pallas"):
+                if self.backend not in cluster_backends:
                     self.backend = "mxu"
-            elif self.backend in ("mxu", "pallas"):
+            elif self.backend in cluster_backends:
                 self.backend = "xla"
-        elif self.backend in ("mxu", "pallas"):
+        elif self.backend in cluster_backends:
             self.scene = compile_clusters(scene_data)
         else:
             self.scene = compile_scene(scene_data)
+        # Hybrid routing (reference RayAccelerator.cpp:268-300 analog):
+        # dense engine for coherent primaries, sparse pair engine for
+        # incoherent bounce waves.
+        self.bounce_backend = (
+            "sparse" if (context.configuration.hybrid_tracing
+                         and self.backend in ("mxu", "pallas"))
+            else self.backend)
         if environment is None:
             env_px = scene_data.env_pixels
             assert env_px is not None, "scene has no environment probe"
@@ -234,8 +259,10 @@ class PathTracingRenderer(TiledRenderer):
             self.scene = replicate_scene(context.mesh, self.scene)
             self.environment = replicate_scene(context.mesh, self.environment)
 
+    def _extra_wave_args(self):
+        return (self.camera.as_arrays(),)
+
     def _build_wave_fn(self):
-        cam_arrays = self.camera.as_arrays()
         scene, env = self.scene, self.environment
         max_depth = self.max_depth
         backend = self.backend
@@ -248,13 +275,15 @@ class PathTracingRenderer(TiledRenderer):
         regroup = self.context.configuration.regroup
         sampler = self.sampler
         sampler_key = self._sampler_key
+        bounce_backend = self.bounce_backend
 
-        def wave_fn(x, y, alive, key, spp):
+        def wave_fn(x, y, alive, key, spp, cam_arrays):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
                                  max_depth, backend=backend, tile=tile,
                                  stack_depth=stack_depth, regroup=regroup,
                                  sampler=sampler,
                                  spp_index=spp,
-                                 sampler_key=sampler_key)
+                                 sampler_key=sampler_key,
+                                 bounce_backend=bounce_backend)
 
         return wave_fn

@@ -78,7 +78,10 @@ class TiledRenderer:
         self.context = context
         self.width = int(width)
         self.height = int(height)
-        self.wave_size = context.configuration.wave_size
+        # The reference caps in-flight rays with maxRaysInFlight
+        # (RayAccelerator.cpp:436); here one wave is the in-flight set.
+        self.wave_size = min(context.configuration.wave_size,
+                             context.configuration.max_rays_in_flight)
         self.n_pixels = self.width * self.height
 
         n_blocks = (-(-self.width // BLOCK_W)) * (-(-self.height // BLOCK_H))
@@ -100,8 +103,7 @@ class TiledRenderer:
         self.spp = 0
         self._dropped_dev = jnp.int32(0)
         self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
-        self._wave_fn = None  # built lazily by subclass
-        self._frame_fn = None
+        self._frame_fn = None  # built lazily from the subclass wave fn
         # Stacked wave inputs for the fused frame loop.
         self._wave_x = jnp.stack([w[0] for w in self._wave_inputs])
         self._wave_y = jnp.stack([w[1] for w in self._wave_inputs])
@@ -137,86 +139,86 @@ class TiledRenderer:
         """Render one progressive sample over the full viewport: the analog
         of one racc::render frame barrier (RayAccelerator.cpp:738-759).
 
-        The whole frame (all waves, all bounces) is ONE compiled call: a
-        lax.scan over waves accumulating into the framebuffer — device
-        round-trips cost ~30ms on remote-tunnel hosts, so nothing is read
-        back per frame; counters stay device-side until queried."""
-        if self._wave_fn is None:
-            fn = self._build_wave_fn()
-            if self.context.mesh is not None:
-                fn = self._shard_wave_fn(fn)
-            self._wave_fn = fn
+        The whole frame (all waves, all bounces) is ONE compiled call —
+        single-chip AND multi-chip: a lax.scan over waves accumulating into
+        the framebuffer, with the scan INSIDE the shard_map in the mesh
+        case so dispatch overhead (~30ms/round-trip on remote-tunnel
+        hosts) is paid once per frame, never per wave; counters stay
+        device-side until queried."""
         if self._frame_fn is None:
-            wave_fn = self._wave_fn
-            wave_size = self.wave_size
+            self._frame_fn = self._build_frame_fn(self._build_wave_fn())
 
-            @jax.jit
-            def frame_fn(fb, xs, ys, alives, key, spp):
-                def step(carry, inputs):
-                    fb, traced, dropped, w = carry
-                    x, y, alive = inputs
-                    wave_key = jax.random.fold_in(key, w)
-                    radiance, n, d = wave_fn(x, y, alive, wave_key, spp)
-                    fb = jax.lax.dynamic_update_slice(
-                        fb, jax.lax.dynamic_slice(
-                            fb, (w * wave_size, 0), (wave_size, 3)) + radiance,
-                        (w * wave_size, 0))
-                    return (fb, traced + n, dropped + d, w + 1), None
-
-                init = (fb, jnp.int32(0), jnp.int32(0), jnp.int32(0))
-                (fb, traced, dropped, _), _ = jax.lax.scan(
-                    step, init, (xs, ys, alives))
-                return fb, traced, dropped
-
-            self._frame_fn = frame_fn
-
-        if self.context.mesh is not None:
-            # Sharded waves run unfused (shard_map handles the device loop).
-            traced = jnp.int32(0)
-            dropped = jnp.int32(0)
-            for w, (x, y, alive) in enumerate(self._wave_inputs):
-                wave_key = jax.random.fold_in(key, w)
-                radiance, n, d = self._wave_fn(x, y, alive, wave_key,
-                                               jnp.int32(self.spp))
-                self._fb = self._fb.at[w * self.wave_size:
-                                       (w + 1) * self.wave_size].add(radiance)
-                traced = traced + n
-                dropped = dropped + d
-            self._pending = (traced, dropped)
-        else:
-            self._fb, traced, dropped = self._frame_fn(
-                self._fb, self._wave_x, self._wave_y, self._wave_alive, key,
-                jnp.int32(self.spp))
+        fb3 = self._fb.reshape(self.n_waves, self.wave_size, 3)
+        fb3, traced, dropped = self._frame_fn(
+            fb3, self._wave_x, self._wave_y, self._wave_alive, key,
+            jnp.int32(self.spp), *self._extra_wave_args())
+        self._fb = fb3.reshape(self.n_lanes, 3)
         self.spp += 1
         self._dropped_dev = self._dropped_dev + dropped
         self.end_frame()
         return Stats(rays_traced=traced)
 
-    def _shard_wave_fn(self, inner):
-        """Run a wave tile-parallel over the context mesh: rays and lane
-        radiance shard over the 'tiles' axis, the scene is replicated (it
-        was placed with parallel.mesh.replicate_scene), the ray counters
-        psum over ICI — the multi-chip analog of the reference's atomic
-        tile counter feeding identical workers (TiledRenderer.cpp:55-67).
-        Each chip folds its axis index into the RNG key so samples
-        decorrelate across shards."""
+    def _build_frame_fn(self, wave_fn):
+        """Compile the whole-frame function: scan over waves around the
+        subclass wave fn. With a device mesh, rays/framebuffer lanes shard
+        over the 'tiles' axis (scene replicated via
+        parallel.mesh.replicate_scene), the ray counters psum over ICI —
+        the multi-chip analog of the reference's atomic tile counter
+        feeding identical workers (TiledRenderer.cpp:55-67). Each chip
+        folds its axis index into the RNG key so samples decorrelate
+        across shards."""
         mesh = self.context.mesh
+        n_extra = len(self._extra_wave_args())
+
+        def frame_body(fb3, xs, ys, alives, key, spp, *extra):
+            def step(carry, inputs):
+                traced, dropped, w = carry
+                x, y, alive = inputs
+                wave_key = jax.random.fold_in(key, w)
+                radiance, n, d = wave_fn(x, y, alive, wave_key, spp, *extra)
+                return (traced + n, dropped + d, w + 1), radiance
+
+            init = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+            (traced, dropped, _), rad = jax.lax.scan(
+                step, init, (xs, ys, alives))
+            return fb3 + rad, traced, dropped
+
+        if mesh is None:
+            return jax.jit(frame_body)
 
         @jax.jit
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P()),
-                 out_specs=(P("tiles"), P(), P()),
+                 in_specs=(P(None, "tiles"), P(None, "tiles"),
+                           P(None, "tiles"), P(None, "tiles"), P(), P())
+                 + (P(),) * n_extra,
+                 out_specs=(P(None, "tiles"), P(), P()),
                  check_vma=False)  # pallas out_shapes carry no vma info
-        def fn(x, y, alive, key, spp):
+        def frame_fn(fb3, xs, ys, alives, key, spp, *extra):
             key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
-            radiance, traced, dropped = inner(x, y, alive, key, spp)
-            return (radiance, jax.lax.psum(traced, "tiles"),
+            fb3, traced, dropped = frame_body(fb3, xs, ys, alives, key, spp,
+                                              *extra)
+            return (fb3, jax.lax.psum(traced, "tiles"),
                     jax.lax.psum(dropped, "tiles"))
 
-        return fn
+        return frame_fn
 
     def end_frame(self):
         """Hook mirroring TiledRenderer::endFrame (TiledRenderer.cpp:62-64)."""
+
+    def _extra_wave_args(self) -> tuple:
+        """Traced per-frame arguments appended to the wave fn (subclasses
+        pass the camera here so a camera move re-uses the compiled frame
+        fn — the TPU form of the reference's interactive loop where every
+        frame re-reads the camera, main.cpp:193-206)."""
+        return ()
+
+    def set_camera(self, camera):
+        """Move the camera and reset progressive accumulation — the analog
+        of the reference's accumulation reset on mouse/WASD movement
+        (main.cpp:204-205, 248-251). No recompilation: the camera is a
+        traced argument of the compiled frame fn."""
+        self.camera = camera
+        self.clear()
 
     def _build_wave_fn(self):
         raise NotImplementedError

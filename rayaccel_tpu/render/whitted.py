@@ -103,12 +103,14 @@ def whitted_shade(surf, rays: Rays, weight):
 
 
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
-                                   "tile", "stack_depth", "shadows"))
+                                   "tile", "stack_depth", "shadows",
+                                   "bounce_backend"))
 def whitted_trace_wave(scene, env: Environment, cam_arrays,
                        x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                        key: jax.Array, max_depth: int, stack_size: int = 9,
                        backend: str = "mxu", tile: int = 512,
-                       stack_depth: int = 48, shadows: bool = False):
+                       stack_depth: int = 48, shadows: bool = False,
+                       bounce_backend: str | None = None):
     """Trace one wave of pixels through their full Whitted ray trees.
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -121,26 +123,30 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
     why (R, S) scatter layouts are slow on TPU).
     """
     R = x.shape[0]
+    if bounce_backend is None:
+        bounce_backend = backend
     rays = generate_pixel_rays(cam_arrays, x, y, key=key)
     level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
 
-    def trace_and_surface(rays, alive):
-        if backend == "pallas":
+    def trace_and_surface(rays, alive, bk):
+        if bk == "xla":
+            hits = trace_bvh(scene, rays, env=env, active=alive,
+                             stack_depth=stack_depth)
+            surf = interpolate_surface(scene, rays, hits,
+                                       alive & (hits.tri >= 0))
+            return hits, surf
+        if bk == "pallas":
             from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
             res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
                                       tile=tile)
-            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                      res.hits)
-            return res.hits, surf
-        if backend == "mxu":
+        elif bk == "sparse":
+            from rayaccel_tpu.ops.trace_sparse import trace_sparse
+            res, _ = trace_sparse(scene, rays, env=env, active=alive)
+        else:
             res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
-            surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                      res.hits)
-            return res.hits, surf
-        hits = trace_bvh(scene, rays, env=env, active=alive,
-                         stack_depth=stack_depth)
-        surf = interpolate_surface(scene, rays, hits, alive & (hits.tri >= 0))
-        return hits, surf
+        surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                  res.hits)
+        return res.hits, surf
 
     # Carry inits derive from ray/pixel inputs (shard_map varying-axes).
     zf = rays.tmax * 0.0
@@ -161,9 +167,9 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s):
+    def body(s, bk):
         rays, alive, weight = s["rays"], s["alive"], s["weight"]
-        hits, surf = trace_and_surface(rays, alive)
+        hits, surf = trace_and_surface(rays, alive, bk)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
         radiance = s["radiance"]
@@ -193,14 +199,19 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                          d=jnp.broadcast_to(light[None, :], spos.shape) + spos * 0.0,
                          tmin=SECONDARY_TMIN + spos[:, 0] * 0.0,
                          tmax=SECONDARY_TMAX + spos[:, 0] * 0.0)
-            if backend in ("mxu", "pallas"):
+            if bk == "pallas":
+                from rayaccel_tpu.ops.trace_pallas import (
+                    trace_occlusion_pallas)
+                occluded = trace_occlusion_pallas(scene, srays, active=active,
+                                                  tile=tile)
+            elif bk in ("mxu", "sparse"):
                 from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
                 occluded = trace_occlusion_mxu(scene, srays, active=active,
                                                tile=tile)
             else:
-                sh = trace_bvh(scene, srays, env=None, active=active,
-                               stack_depth=stack_depth)
-                occluded = sh.tri >= 0
+                from rayaccel_tpu.ops.trace import trace_occlusion_bvh
+                occluded = trace_occlusion_bvh(scene, srays, active=active,
+                                               stack_depth=stack_depth)
             traced = traced + jnp.sum(active.astype(jnp.int32))
             direct = jnp.where(occluded[:, None], 0.0, direct)
         radiance = radiance + jnp.where(active[:, None], direct, 0.0)
@@ -247,7 +258,11 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                     alive=alive_next, sp=sp, stk=stk, stk_w=stk_w,
                     radiance=radiance, traced=traced, dropped=dropped)
 
-    out = jax.lax.while_loop(cond, body, state)
+    # Peel the primary trace (hybrid routing: dense primaries, sparse
+    # secondaries — the reference's hybrid scheduling analog).
+    state = jax.lax.cond(jnp.any(state["alive"]),
+                         partial(body, bk=backend), lambda s: s, state)
+    out = jax.lax.while_loop(cond, partial(body, bk=bounce_backend), state)
     return out["radiance"], out["traced"], out["dropped"]
 
 
@@ -264,17 +279,22 @@ class WhittedRenderer(TiledRenderer):
         self.scene_data = scene_data
         self.shadows = shadows
         self.backend = context.configuration.backend
+        cluster_backends = ("mxu", "pallas", "sparse")
         if tpu_scene is not None:
             self.scene = tpu_scene
             if isinstance(tpu_scene, ClusterScene):
-                if self.backend not in ("mxu", "pallas"):
+                if self.backend not in cluster_backends:
                     self.backend = "mxu"
-            elif self.backend in ("mxu", "pallas"):
+            elif self.backend in cluster_backends:
                 self.backend = "xla"
-        elif self.backend in ("mxu", "pallas"):
+        elif self.backend in cluster_backends:
             self.scene = compile_clusters(scene_data)
         else:
             self.scene = compile_scene(scene_data)
+        self.bounce_backend = (
+            "sparse" if (context.configuration.hybrid_tracing
+                         and self.backend in ("mxu", "pallas"))
+            else self.backend)
         if environment is None:
             env_px = scene_data.env_pixels
             assert env_px is not None, "scene has no environment probe"
@@ -287,8 +307,10 @@ class WhittedRenderer(TiledRenderer):
             self.scene = replicate_scene(context.mesh, self.scene)
             self.environment = replicate_scene(context.mesh, self.environment)
 
+    def _extra_wave_args(self):
+        return (self.camera.as_arrays(),)
+
     def _build_wave_fn(self):
-        cam_arrays = self.camera.as_arrays()
         scene, env = self.scene, self.environment
         max_depth = self.max_depth
         stack_size = max(self.context.configuration.max_shading_depth,
@@ -301,12 +323,14 @@ class WhittedRenderer(TiledRenderer):
         tile = min(self.context.configuration.trace_block, shard_lanes)
 
         shadows = self.shadows
+        bounce_backend = self.bounce_backend
 
-        def wave_fn(x, y, alive, key, spp):
+        def wave_fn(x, y, alive, key, spp, cam_arrays):
             del spp  # Whitted uses per-frame keys only
             return whitted_trace_wave(
                 scene, env, cam_arrays, x, y, alive, key,
                 max_depth, stack_size, backend=backend, tile=tile,
-                stack_depth=stack_depth, shadows=shadows)
+                stack_depth=stack_depth, shadows=shadows,
+                bounce_backend=bounce_backend)
 
         return wave_fn

@@ -53,25 +53,6 @@ class Hits(NamedTuple):
     miss_rgb: jnp.ndarray  # (R, 3) float32 environment radiance where miss
 
 
-class LightPaths(NamedTuple):
-    """Per-ray path payload (analog of LightPath, reference LightPath.h:14-17).
-
-    ``pixel`` packs ``depth << 24 | pixel_index`` exactly like the
-    reference (PathTracingRenderer.cpp:414, 505).
-    """
-
-    weight: jnp.ndarray  # (R, 3) float32 path throughput
-    pixel: jnp.ndarray   # (R,) int32: (depth << 24) | pixel_index
-
-    @staticmethod
-    def depth(pixel: jnp.ndarray) -> jnp.ndarray:
-        return jnp.right_shift(pixel, 24)
-
-    @staticmethod
-    def index(pixel: jnp.ndarray) -> jnp.ndarray:
-        return jnp.bitwise_and(pixel, 0xFFFFFF)
-
-
 class Stats(NamedTuple):
     """Render statistics (analog of racc::Stats, RayAccelerator.h:85-87).
 

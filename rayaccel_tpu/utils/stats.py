@@ -39,6 +39,9 @@ class RenderStats:
         self.total_rays = 0
         self.total_seconds = 0.0
         self.last: Optional[FrameStats] = None
+        # Per-stage breakdown, filled by utils.profiling.profile_stages
+        # (SURVEY.md §5 asks for trace/sort/shade stage timing).
+        self.stages: Optional[dict] = None
 
     def record(self, rays_traced: int, seconds: float, spp: int) -> FrameStats:
         self.frames += 1
@@ -57,7 +60,7 @@ class RenderStats:
     def summary(self) -> dict:
         """Structured per-frame stats (SURVEY.md §5 metrics row)."""
         last = self.last
-        return {
+        out = {
             "frames": self.frames,
             "rays_traced_total": self.total_rays,
             "mrays_per_s_instant": last.mrays_per_s if last else 0.0,
@@ -65,6 +68,9 @@ class RenderStats:
             "frame_ms": (last.seconds * 1e3) if last else 0.0,
             "spp": last.spp if last else 0,
         }
+        if self.stages is not None:
+            out["stages"] = self.stages
+        return out
 
     def format_line(self) -> str:
         """The reference's per-frame printout shape (main.cpp:231)."""

@@ -160,3 +160,42 @@ def test_cli_resume_uses_stored_key(tmp_path):
     ia = np.fromfile(a, np.float32)
     ib = np.fromfile(b, np.float32)
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_cli_orbit_animation(tmp_path):
+    """Scripted camera path: N frames, accumulation reset per move, the
+    file-sequence analog of the reference's interactive loop
+    (main.cpp:193-282)."""
+    out = str(tmp_path / "a.png")
+    rc = cli_main(["--synthetic", "test", "--spp", "1", "--quiet",
+                   "--width", "64", "--height", "64", "--max-depth", "1",
+                   "--wave-size", "4096", "--anim-frames", "3",
+                   "--orbit", "15", "--out", out])
+    assert rc == 0
+    frames = [tmp_path / f"a_{i:04d}.png" for i in range(3)]
+    assert all(f.exists() for f in frames)
+    data = [f.read_bytes() for f in frames]
+    assert data[0] != data[1] and data[1] != data[2], \
+        "orbiting camera must change the image"
+
+
+def test_set_camera_resets_and_reuses_compiled_frame():
+    """set_camera must reset accumulation AND render correctly through the
+    already-compiled frame fn (camera is a traced argument)."""
+    import jax
+    s = make_test_scene(viewport=(64, 64), max_depth=1)
+    ctx = racc.create_context(racc.Configuration(wave_size=4096))
+    cam0 = racc.Camera.look_at(s.cam_origin, s.cam_dir, s.cam_up,
+                               s.cam_fov, 64, 64)
+    cam1 = cam0.rotate(0.3, s.cam_up, pivot=np.asarray(s.cam_dir))
+    r = racc.PathTracingRenderer(ctx, cam0, s)
+    r.render_frame(jax.random.PRNGKey(0))
+    r.set_camera(cam1)
+    assert r.spp == 0
+    assert np.all(np.asarray(r.frame_buffer) == 0)
+    r.render_frame(jax.random.PRNGKey(5))
+
+    fresh = racc.PathTracingRenderer(ctx, cam1, s)
+    fresh.render_frame(jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(r.frame_buffer),
+                                  np.asarray(fresh.frame_buffer))

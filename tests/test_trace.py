@@ -23,6 +23,26 @@ def camera_rays(scene_data, n=64):
                                jnp.asarray(xx.ravel()), jnp.asarray(yy.ravel()))
 
 
+def assert_hits_match_near_ties(h_ref, h, rays, flip_frac=0.005,
+                               flip_rtol=3e-3):
+    """Like assert_hits_match, but tolerates a small fraction of winner
+    flips between candidates whose exact t differ by < flip_rtol (packed
+    approximate ranking engines legitimately reorder near-ties; the
+    returned t is exact for the picked triangle)."""
+    miss_ref = np.asarray(h_ref.tri) == INVALID_TRIANGLE
+    miss_h = np.asarray(h.tri) == INVALID_TRIANGLE
+    np.testing.assert_array_equal(miss_ref, miss_h)
+    hit = ~miss_ref
+    t_ref = np.asarray(h_ref.t)[hit]
+    t_h = np.asarray(h.t)[hit]
+    close = np.abs(t_h - t_ref) <= 1e-3 + 1e-4 * np.abs(t_ref)
+    flipped = ~close
+    assert flipped.mean() <= flip_frac, (
+        f"{flipped.mean():.2%} winners flipped (> {flip_frac:.2%})")
+    np.testing.assert_allclose(t_h[flipped], t_ref[flipped],
+                               rtol=flip_rtol, atol=1e-3)
+
+
 def assert_hits_match(h_ref, h_bvh, rays, atol=1e-3):
     miss_ref = np.asarray(h_ref.tri) == INVALID_TRIANGLE
     miss_bvh = np.asarray(h_bvh.tri) == INVALID_TRIANGLE

@@ -198,3 +198,27 @@ def test_pallas_queue_overflow_keeps_all_tiles():
     ground_tris = {len(sd.indices) - 2, len(sd.indices) - 1}
     assert set(tri[tile:].tolist()) <= ground_tris
     np.testing.assert_allclose(t[tile:], 20.0, atol=1e-4)
+
+
+def test_occlusion_xla_and_pallas_match_mxu(scenes, rng):
+    """Any-hit queries must agree across all three engines (the same
+    cross-engine oracle as closest-hit; reference early-exit semantics
+    Kernels.h:190-210)."""
+    from rayaccel_tpu.ops.trace import trace_occlusion_bvh
+    from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+    from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
+    sd, ts, cs = scenes
+    n = 2048
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=20.0)
+    active = jnp.arange(n) % 4 != 3
+    occ_mxu = np.asarray(trace_occlusion_mxu(cs, rays, active=active, tile=512))
+    occ_xla = np.asarray(trace_occlusion_bvh(ts, rays, active=active))
+    occ_pls = np.asarray(trace_occlusion_pallas(cs, rays, active=active,
+                                                tile=512))
+    np.testing.assert_array_equal(occ_xla, occ_mxu)
+    np.testing.assert_array_equal(occ_pls, occ_mxu)
+    assert not occ_mxu[3::4].any()

@@ -1,0 +1,101 @@
+"""Pair-centric sparse tracer vs the brute-force oracle — the fourth
+engine joins the cross-engine oracle (SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rayaccel_tpu.ops.bruteforce import trace_bruteforce
+from rayaccel_tpu.ops.trace_sparse import trace_sparse
+from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.scene.clusters import compile_clusters
+from rayaccel_tpu.scene.loader import make_test_scene
+from rayaccel_tpu.types import make_rays, INVALID_TRIANGLE
+
+from tests.test_trace import assert_hits_match_near_ties
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    sd = make_test_scene()
+    from rayaccel_tpu.scene.compile import compile_scene
+    return sd, compile_scene(sd), compile_clusters(sd, cluster_size=16)
+
+
+def test_sparse_camera_rays(scenes):
+    sd, ts, cs = scenes
+    cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov,
+                         64, 64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    rays = generate_pixel_rays(cam.as_arrays(), jnp.asarray(xx.ravel()),
+                               jnp.asarray(yy.ravel()))
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    res, overflow = trace_sparse(cs, rays, sp_tile=512)
+    assert int(overflow) == 0
+    assert (np.asarray(res.hits.tri) >= 0).mean() > 0.3
+    assert_hits_match_near_ties(h_ref, res.hits, rays)
+
+
+def test_sparse_random_rays(scenes, rng):
+    sd, ts, cs = scenes
+    n = 4096
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    res, overflow = trace_sparse(cs, rays, sp_tile=512)
+    assert int(overflow) == 0
+    assert_hits_match_near_ties(h_ref, res.hits, rays)
+
+
+def test_sparse_attrs_and_active_mask(scenes):
+    sd, ts, cs = scenes
+    n = 1024
+    o = jnp.broadcast_to(jnp.asarray([0.3, 5.0, 0.2]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    rays = make_rays(o, d, tmin=0.0)
+    active = jnp.arange(n) % 2 == 0
+    res, _ = trace_sparse(cs, rays, active=active, sp_tile=512)
+    tri = np.asarray(res.hits.tri)
+    assert np.all(tri[0::2] >= 0)
+    assert np.all(tri[1::2] == INVALID_TRIANGLE)
+    # Attribute rows must match the hit triangle (one-hot-free gather path).
+    attrs = np.asarray(res.attrs)
+    hit = tri >= 0
+    np.testing.assert_allclose(attrs[hit, 9:12],
+                               sd.triangle_normals[tri[hit]], atol=1e-5)
+
+
+def test_sparse_tmin_tmax(scenes, rng):
+    sd, ts, cs = scenes
+    n = 1024
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 5, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=1.0, tmax=4.0)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    res, _ = trace_sparse(cs, rays, sp_tile=512)
+    t = np.asarray(res.hits.t)
+    hit = np.asarray(res.hits.tri) >= 0
+    assert np.all(t[hit] > 1.0 - 1e-6)
+    assert np.all(t[hit] <= 4.0 + 1e-5)
+    assert_hits_match_near_ties(h_ref, res.hits, rays)
+
+
+def test_sparse_k_clamp_counts_overflow(scenes):
+    """Rays overlapping more than k_pairs clusters keep the NEAREST ones;
+    the rest are counted in overflow and the nearest hit is still found."""
+    sd, ts, cs = scenes
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([0.3, 50.0, 0.2]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    rays = make_rays(o, d, tmin=0.0)
+    full, ov_full = trace_sparse(cs, rays, k_pairs=8, sp_tile=512)
+    tight, ov_tight = trace_sparse(cs, rays, k_pairs=1, sp_tile=512)
+    assert int(ov_full) <= int(ov_tight)
+    # The nearest cluster holds the top-of-box hit: winners agree.
+    np.testing.assert_array_equal(np.asarray(full.hits.tri),
+                                  np.asarray(tight.hits.tri))
