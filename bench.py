@@ -1,72 +1,131 @@
-"""Headline benchmark: path tracing the battlefield-like scene, one chip.
+"""Benchmarks: the BASELINE.md config matrix on the battlefield-like scene.
 
 Mirrors the reference's figure of merit — Mrays/s with rays counted at
 intersection-test dispatch (reference main.cpp:215-231,
-RayAccelerator.cpp:200) — on BASELINE.md config 2: PathTracingRenderer,
-1280x720, 2 bounces, 1 spp per frame. Prints ONE JSON line.
+RayAccelerator.cpp:200) — across BASELINE.md configs 1-5. Emits one JSON
+line per config; the HEADLINE line (config 2: PathTracingRenderer,
+1280x720, 2 bounces, 1 spp per frame) is printed LAST for the driver.
 
 vs_baseline is measured against the 150 Mrays/s/chip north star
 (BASELINE.json; the reference repo publishes no in-repo numbers).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
-import numpy as np
 
 import rayaccel_tpu as racc
 from rayaccel_tpu.scene.loader import make_battlefield_like
 
 NORTH_STAR_MRAYS = 150.0
-FRAMES = 4
-MAX_DEPTH = 2
 
 
-def main():
-    import os
-    scene_data = make_battlefield_like()
-    scene_data.max_depth = MAX_DEPTH
-    cfg = racc.Configuration(
-        backend=os.environ.get("BENCH_BACKEND", "pallas"),
-        wave_size=int(os.environ.get("BENCH_WAVE", 128 * 128 * 4)),
-        trace_block=int(os.environ.get("BENCH_TILE", 1024)))
-    ctx = racc.create_context(cfg)
-    cam = racc.Camera.look_at(
-        scene_data.cam_origin, scene_data.cam_dir, scene_data.cam_up,
-        scene_data.cam_fov, scene_data.viewport_width,
-        scene_data.viewport_height)
-    cs = int(os.environ.get("BENCH_CS", 128))
-    from rayaccel_tpu.scene.clusters import compile_clusters
-    tpu_scene = compile_clusters(scene_data, cluster_size=cs)
-    renderer = racc.PathTracingRenderer(ctx, cam, scene_data,
-                                        tpu_scene=tpu_scene)
-    renderer.backend = cfg.backend
-
-    # Warm-up: compile every wave shape.
-    renderer.render_frame(jax.random.PRNGKey(0))
+def run_config(renderer, frames, key0=1):
+    renderer.render_frame(jax.random.PRNGKey(0))      # warm-up compile
     jax.block_until_ready(renderer.frame_buffer)
-
     rays = 0
     t0 = time.perf_counter()
-    for i in range(FRAMES):
-        stats = renderer.render_frame(jax.random.PRNGKey(i + 1))
-        rays += int(stats.rays_traced)
-    jax.block_until_ready(renderer.frame_buffer)
+    for i in range(frames):
+        stats = renderer.render_frame(jax.random.PRNGKey(key0 + i))
+        rays += int(stats.rays_traced)                # value sync per frame
     dt = time.perf_counter() - t0
+    return rays / dt / 1e6, dt / frames * 1e3, rays
 
-    mrays = rays / dt / 1e6
-    frame_ms = dt / FRAMES * 1e3
+
+def line(metric, mrays, frame_ms, rays, **extra):
     print(json.dumps({
-        "metric": "pt_battlefield_mrays_per_s_per_chip",
+        "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
         "frame_ms": round(frame_ms, 2),
-        "frames": FRAMES,
         "rays": rays,
         "device": str(jax.devices()[0]),
-    }))
+        **extra,
+    }), flush=True)
+
+
+def main():
+    scene_data = make_battlefield_like()
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    wave = int(os.environ.get("BENCH_WAVE", 128 * 128 * 4))
+    tile = int(os.environ.get("BENCH_TILE", 1024))
+    cs_size = int(os.environ.get("BENCH_CS", 128))
+    frames = int(os.environ.get("BENCH_FRAMES", 4))
+    only = os.environ.get("BENCH_ONLY")  # e.g. "2" or "1,3"
+    configs = set((only or "1,2,3,4,5").split(","))
+
+    def ctx(**kw):
+        return racc.create_context(racc.Configuration(
+            backend=backend, wave_size=wave, trace_block=tile, **kw))
+
+    def cam_of(sd):
+        return racc.Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up,
+                                   sd.cam_fov, sd.viewport_width,
+                                   sd.viewport_height)
+
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    tpu_scene = compile_clusters(scene_data, cluster_size=cs_size)
+
+    def pt(max_depth, **ctx_kw):
+        sd = type(scene_data)(**{**scene_data.__dict__,
+                                 "max_depth": max_depth})
+        return racc.PathTracingRenderer(ctx(**ctx_kw), cam_of(sd), sd,
+                                        tpu_scene=tpu_scene)
+
+    if "1" in configs:
+        # Config 1: Whitted, primary + shadow rays only.
+        sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 1})
+        r = racc.WhittedRenderer(ctx(), cam_of(sd), sd, tpu_scene=tpu_scene,
+                                 shadows=True, primary_only=True)
+        line("whitted_primary_shadow_mrays_per_s", *run_config(r, frames))
+
+    if "3" in configs:
+        # Config 3: full BSDF, 8 bounces, regrouping on.
+        r = pt(8)
+        line("pt8_fullbsdf_mrays_per_s", *run_config(r, max(frames // 2, 1)))
+
+    if "4" in configs:
+        # Config 4: progressive stratified accumulation (256-spp target;
+        # measured over `frames` progressive samples).
+        r = pt(2, sampler="stratified")
+        m, ms, rays = run_config(r, frames)
+        line("pt_stratified_mrays_per_s", m, ms, rays, spp_target=256)
+
+    if "5" in configs:
+        # Config 5: multi-chip tile-parallel smoke on the virtual CPU mesh
+        # (one real chip here; the driver separately gates dryrun_multichip).
+        t0 = time.perf_counter()
+        proc = subprocess.run([sys.executable, "__graft_entry__.py"],
+                              cwd=os.path.dirname(os.path.abspath(__file__))
+                              or ".", capture_output=True, text=True,
+                              timeout=600)
+        ok = proc.returncode == 0 and "OK" in proc.stdout
+        print(json.dumps({
+            "metric": "multichip_cpu_mesh_smoke",
+            "value": 1 if ok else 0,
+            "unit": "ok",
+            "seconds": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+
+    if "2" in configs:
+        # Config 2 (HEADLINE, printed last): PT, 2 bounces, 1 spp/frame.
+        r = pt(2)
+        m, ms, rays = run_config(r, frames)
+        print(json.dumps({
+            "metric": "pt_battlefield_mrays_per_s_per_chip",
+            "value": round(m, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(m / NORTH_STAR_MRAYS, 4),
+            "frame_ms": round(ms, 2),
+            "frames": frames,
+            "rays": rays,
+            "device": str(jax.devices()[0]),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 # wrapper dispatches to the smallest bucket that fits via lax.switch (no
 # host sync). Beyond the largest bucket, each tile's FARTHEST clusters are
 # dropped and counted.
-CAP_BUCKETS = (4, 8, 16, 32, 64)
+CAP_BUCKETS = (8, 16, 64)
 K_PER_STEP = 4
 OUT_COLS = 8            # [packed score | slot bits | pad...]
 _COL_BITS = 7           # candidate column rides in the score's low mantissa

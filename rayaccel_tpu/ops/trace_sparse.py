@@ -60,7 +60,7 @@ _MISS_F32 = float(__import__("numpy").int32(_MISS_BITS).view(
 
 # Work-queue capacity buckets (items): dispatch picks the smallest that
 # fits, so sparse waves don't pay the worst case's grid-step tax.
-ITEM_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+ITEM_BUCKETS = (128, 512, 2048)
 
 
 def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
@@ -165,6 +165,89 @@ def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
     return call
 
 
+_INF_PACK = 0x7F800000    # +inf bit pattern: packed-entry invalid threshold
+
+
+def _select_kernel(F8_ref, bb_ref, out_ref, *, k, id_bits):
+    """Fused cull + nearest-k selection for one ray tile, entirely in
+    VMEM: slab-test every cluster AABB, pack (entry | cluster id) into
+    one i32 word per candidate, extract the k nearest by repeated packed
+    min. Row k of the output carries each ray's total overlap count (for
+    clamp-overflow accounting). The (R, N_c) entry matrix never exists in
+    HBM — selection was the sparse engine's dominant XLA cost."""
+    rb = F8_ref[0]                                   # (tile, 8)
+    n_cp = bb_ref.shape[1]
+    tile = rb.shape[0]
+    t0 = jnp.broadcast_to(rb[:, 6][:, None], (tile, n_cp))
+    t1 = jnp.broadcast_to(rb[:, 7][:, None], (tile, n_cp))
+    for a in range(3):
+        tn = (bb_ref[a][None, :] - rb[:, a][:, None]) * rb[:, 3 + a][:, None]
+        tf = (bb_ref[3 + a][None, :] - rb[:, a][:, None]) * rb[:, 3 + a][:, None]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    E = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), jnp.inf)
+
+    low = (1 << id_bits) - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, n_cp), 1)
+    # Entries are non-negative, so their bits order like the floats; the
+    # cluster id rides in the low mantissa (selection-order noise only —
+    # every selected pair is still tested against the exact t range).
+    Ep = ((jax.lax.bitcast_convert_type(E, jnp.int32) | low) ^ low) | iota
+    cnt = jnp.sum((Ep < _INF_PACK).astype(jnp.int32), axis=1)
+
+    rows = []
+    for _ in range(k):
+        m = jnp.min(Ep, axis=1)                      # (tile,)
+        rows.append(m[None, :])
+        Ep = jnp.where(Ep == m[:, None], jnp.int32(0x7FFFFFFF), Ep)
+    rows.append(cnt[None, :])
+    out_ref[0] = jnp.concatenate(rows, axis=0)       # (k+1, tile)
+
+
+def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
+    """Run the fused select kernel over the wave. Returns
+    (lat_valid (k, R) bool, lat_id (k, R) i32 nearest-first, clamp_drop)."""
+    R = o[0].shape[0]
+    n_c = cs.n_clusters
+    n_cp = -(-n_c // 128) * 128
+    id_bits = max((n_cp - 1).bit_length(), 1)
+
+    # (8, n_cp): bbmin rows 0-2, bbmax rows 3-5; padding clusters are the
+    # degenerate far point 3e37 (always t0 > t1 => culled).
+    bb = jnp.full((8, n_cp), 3e37, jnp.float32)
+    bb = bb.at[0:3, :n_c].set(cs.cl_bbmin.T)
+    bb = bb.at[3:6, :n_c].set(cs.cl_bbmax.T)
+
+    # Ray tile sized to keep the (tile, n_cp) entry block in VMEM.
+    sel_tile = 1024
+    while sel_tile * n_cp * 4 > (4 << 20) or R % sel_tile:
+        sel_tile //= 2
+        assert sel_tile >= 8, f"wave size {R} has no usable select tile"
+    T = R // sel_tile
+
+    F8 = jnp.stack([o[0], o[1], o[2], inv_d[0], inv_d[1], inv_d[2],
+                    tmin, tmax_eff], axis=1).reshape(T, sel_tile, 8)
+
+    out = pl.pallas_call(
+        partial(_select_kernel, k=k, id_bits=id_bits),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, sel_tile, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((8, n_cp), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k + 1, sel_tile), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, k + 1, sel_tile), jnp.int32),
+        interpret=interpret,
+    )(F8, bb)
+
+    packed = out[:, :k, :].transpose(1, 0, 2).reshape(k, R)
+    cnt = out[:, k, :].reshape(R)
+    lat_valid = packed < _INF_PACK
+    lat_id = packed & ((1 << id_bits) - 1)
+    clamp_drop = jnp.sum(jnp.maximum(cnt - k, 0))
+    return lat_valid, lat_id, clamp_drop
+
+
 def _nearest_k(entry, k):
     """(R, N_c) entry matrix -> ((k, R) entries, (k, R) cluster ids),
     nearest first; exhausted ranks get entry _INF / id 0. K rounds of
@@ -219,21 +302,10 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax,
                                                           -1.0)
 
-    # ---- 1. dense cull ----
-    t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
-    t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
-    for a in range(3):
-        tn = (cs.cl_bbmin[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
-        tf = (cs.cl_bbmax[:, a][None, :] - o[a][:, None]) * inv_d[a][:, None]
-        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
-        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
-    entry = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), _INF)     # (R, N_c)
-
-    # ---- 2. nearest-K lattice ----
-    lat_entry, lat_id = _nearest_k(entry, K)                     # (K, R)
-    lat_valid = lat_entry < _INF
+    # ---- 1+2. fused cull + nearest-K lattice (one pallas pass) ----
+    lat_valid, lat_id, clamp_drop = _select_nearest_pallas(
+        cs, o, inv_d, tmin, tmax_eff, K, interpret)
     total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
-    clamp_drop = jnp.sum((entry < _INF).astype(jnp.int32)) - total_pairs
 
     # ---- 3. sort pairs by cluster; truncate to MAXP; gather F rows ----
     ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :],

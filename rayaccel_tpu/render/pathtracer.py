@@ -48,7 +48,7 @@ from rayaccel_tpu.render.tiled import TiledRenderer
 from rayaccel_tpu.scene.clusters import ATTR_COLS, ClusterScene, compile_clusters
 from rayaccel_tpu.scene.compile import TpuScene, compile_scene
 from rayaccel_tpu.scene.data import SceneData
-from rayaccel_tpu.types import INVALID_TRIANGLE
+from rayaccel_tpu.types import Hits, INVALID_TRIANGLE, Rays
 
 
 def pt_shade(surf, rays, weight, key):
@@ -158,12 +158,51 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
                                   res.hits)
         return res.hits, surf, overflow
 
+    # Live-prefix buckets: regrouping compacts live lanes to the front of
+    # the wave, so a bounce trace only needs the smallest power-of-two
+    # prefix covering the live count — a lax.switch over pre-compiled
+    # sizes (no host sync). The TPU analog of the reference recycling
+    # partially-filled ray streams instead of tracing empty slots
+    # (RayAccelerator.cpp:77-82 stream routing by fill level).
+    sizes = [s for s in (R // 4, R // 2)
+             if s >= tile and s % tile == 0] + [R]
+
+    def traced_prefix(rays, alive, bk):
+        n_live = jnp.sum(alive.astype(jnp.int32))
+
+        def make_branch(size):
+            def branch(rays, alive):
+                sub = Rays(rays.o[:size], rays.d[:size],
+                           rays.tmin[:size], rays.tmax[:size])
+                hits, surf, ov = trace_and_surface(sub, alive[:size], bk)
+                if size == R:
+                    return hits, surf, ov
+                pad = R - size
+
+                def tail(x, fill=0):
+                    widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                    return jnp.pad(x, widths, constant_values=fill)
+
+                hits = Hits(tri=tail(hits.tri, INVALID_TRIANGLE),
+                            t=tail(hits.t), u=tail(hits.u), v=tail(hits.v),
+                            miss_rgb=tail(hits.miss_rgb))
+                surf = jax.tree.map(tail, surf)
+                return hits, surf, ov
+            return branch
+
+        idx = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        return jax.lax.switch(idx, [make_branch(s) for s in sizes],
+                              rays, alive)
+
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s, bk):
+    def body(s, bk, use_prefix=False):
         rays, alive = s["rays"], s["alive"]
-        hits, surf, overflow = trace_and_surface(rays, alive, bk)
+        if use_prefix:
+            hits, surf, overflow = traced_prefix(rays, alive, bk)
+        else:
+            hits, surf, overflow = trace_and_surface(rays, alive, bk)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
         # Terminal miss: remember direction+weight; the env probe lookup is
@@ -206,7 +245,9 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     # all-dead-wave (padding) case as cheap as the old while_loop did.
     state = jax.lax.cond(jnp.any(state["alive"]),
                          partial(body, bk=backend), lambda s: s, state)
-    out = jax.lax.while_loop(cond, partial(body, bk=bounce_backend), state)
+    out = jax.lax.while_loop(
+        cond, partial(body, bk=bounce_backend, use_prefix=do_regroup),
+        state)
     env_rgb = sample_environment_onehot(env, out["miss_d"])
     radiance = out["miss_w"] * env_rgb
     if do_regroup:

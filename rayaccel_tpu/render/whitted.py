@@ -104,13 +104,15 @@ def whitted_shade(surf, rays: Rays, weight):
 
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
                                    "tile", "stack_depth", "shadows",
-                                   "bounce_backend"))
+                                   "bounce_backend", "primary_only",
+                                   "regroup"))
 def whitted_trace_wave(scene, env: Environment, cam_arrays,
                        x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                        key: jax.Array, max_depth: int, stack_size: int = 9,
                        backend: str = "mxu", tile: int = 512,
                        stack_depth: int = 48, shadows: bool = False,
-                       bounce_backend: str | None = None):
+                       bounce_backend: str | None = None,
+                       primary_only: bool = False, regroup: bool = True):
     """Trace one wave of pixels through their full Whitted ray trees.
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -127,6 +129,12 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         bounce_backend = backend
     rays = generate_pixel_rays(cam_arrays, x, y, key=key)
     level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
+    do_regroup = (regroup and backend != "xla" and bounce_backend != "xla")
+    if do_regroup:
+        from rayaccel_tpu.render.regroup import coherence_key, regroup_state
+        bmin = jnp.min(scene.cl_bbmin, axis=0)
+        binv = 1.0 / jnp.maximum(
+            jnp.max(scene.cl_bbmax, axis=0) - bmin, 1e-20)
 
     def trace_and_surface(rays, alive, bk):
         if bk == "xla":
@@ -160,16 +168,53 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                              (stack_size, 7, R)),  # o(3) d(3) depth(1)
         stk_w=jnp.broadcast_to(zf[None, None, :], (stack_size, 3, R)),
         radiance=rays.o * 0.0,
+        lane=x * 0 + jnp.arange(R, dtype=jnp.int32),
         traced=jnp.sum(x) * 0,
         dropped=jnp.sum(x) * 0,
     )
 
+    # Live-prefix buckets for the bounce traces (see pathtracer.py): the
+    # regroup sorts dead lanes last, so only the smallest compiled prefix
+    # covering the live count is traced.
+    sizes = [s for s in (R // 4, R // 2)
+             if s >= tile and s % tile == 0] + [R]
+
+    def traced_prefix(rays, alive, bk):
+        from rayaccel_tpu.types import Hits
+        n_live = jnp.sum(alive.astype(jnp.int32))
+
+        def make_branch(size):
+            def branch(rays, alive):
+                sub = Rays(rays.o[:size], rays.d[:size],
+                           rays.tmin[:size], rays.tmax[:size])
+                hits, surf = trace_and_surface(sub, alive[:size], bk)
+                if size == R:
+                    return hits, surf
+                pad = R - size
+
+                def tail(xx, fill=0):
+                    widths = ((0, pad),) + ((0, 0),) * (xx.ndim - 1)
+                    return jnp.pad(xx, widths, constant_values=fill)
+
+                hits = Hits(tri=tail(hits.tri, INVALID_TRIANGLE),
+                            t=tail(hits.t), u=tail(hits.u), v=tail(hits.v),
+                            miss_rgb=tail(hits.miss_rgb))
+                return hits, jax.tree.map(tail, surf)
+            return branch
+
+        idx = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
+        return jax.lax.switch(idx, [make_branch(s) for s in sizes],
+                              rays, alive)
+
     def cond(s):
         return jnp.any(s["alive"])
 
-    def body(s, bk):
+    def body(s, bk, use_prefix=False):
         rays, alive, weight = s["rays"], s["alive"], s["weight"]
-        hits, surf = trace_and_surface(rays, alive, bk)
+        if use_prefix:
+            hits, surf = traced_prefix(rays, alive, bk)
+        else:
+            hits, surf = trace_and_surface(rays, alive, bk)
         traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
 
         radiance = s["radiance"]
@@ -184,6 +229,11 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
         direct, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
             surf, rays, weight)
+        if primary_only:
+            # BASELINE config 1: primary + shadow rays only — no
+            # reflection/refraction trees.
+            refl_ok = refl_ok & False
+            refr_ok = refr_ok & False
         refl_ok = refl_ok & active
         refr_ok = refr_ok & active
         if shadows:
@@ -253,17 +303,42 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                           jnp.where(active[:, None], new_w, weight))
         out_depth = jnp.where(pop, pe[6].astype(jnp.int32),
                               s["depth"] + active.astype(jnp.int32))
+        lane = s["lane"]
+
+        if do_regroup:
+            # Between-bounce regroup (the PT regroup extended to ray
+            # trees): the parked-ray stacks flatten into per-lane columns
+            # and ride the same multi-operand sort as the lane state, so
+            # a lane's pending subtree moves with it. Accumulated
+            # radiance moves too; the frame unsorts once by lane at the
+            # end. Dead lanes sort last, enabling the prefix buckets.
+            ck = coherence_key(out_rays, alive_next, bmin, binv)
+            stk_cols = stk.reshape(stack_size * 7, R).T      # (R, S*7)
+            stkw_cols = stk_w.reshape(stack_size * 3, R).T   # (R, S*3)
+            out_rays, (out_w, out_depth, alive_next, sp, lane, radiance,
+                       stk_cols, stkw_cols) = regroup_state(
+                ck, out_rays, [out_w, out_depth, alive_next, sp, lane,
+                               radiance, stk_cols, stkw_cols])
+            stk = stk_cols.T.reshape(stack_size, 7, R)
+            stk_w = stkw_cols.T.reshape(stack_size, 3, R)
 
         return dict(rays=out_rays, weight=out_w, depth=out_depth,
                     alive=alive_next, sp=sp, stk=stk, stk_w=stk_w,
-                    radiance=radiance, traced=traced, dropped=dropped)
+                    radiance=radiance, lane=lane, traced=traced,
+                    dropped=dropped)
 
     # Peel the primary trace (hybrid routing: dense primaries, sparse
     # secondaries — the reference's hybrid scheduling analog).
     state = jax.lax.cond(jnp.any(state["alive"]),
                          partial(body, bk=backend), lambda s: s, state)
-    out = jax.lax.while_loop(cond, partial(body, bk=bounce_backend), state)
-    return out["radiance"], out["traced"], out["dropped"]
+    out = jax.lax.while_loop(
+        cond, partial(body, bk=bounce_backend, use_prefix=do_regroup),
+        state)
+    radiance = out["radiance"]
+    if do_regroup:
+        from rayaccel_tpu.render.regroup import regroup_state as _rs
+        _, (radiance,) = _rs(out["lane"], out["rays"], [radiance])
+    return radiance, out["traced"], out["dropped"]
 
 
 class WhittedRenderer(TiledRenderer):
@@ -272,12 +347,13 @@ class WhittedRenderer(TiledRenderer):
     def __init__(self, context: Context, camera: Camera, scene_data: SceneData,
                  tpu_scene: TpuScene | None = None,
                  environment: Environment | None = None,
-                 shadows: bool = False):
+                 shadows: bool = False, primary_only: bool = False):
         super().__init__(context, scene_data.viewport_width,
                          scene_data.viewport_height)
         self.camera = camera
         self.scene_data = scene_data
         self.shadows = shadows
+        self.primary_only = primary_only
         self.backend = context.configuration.backend
         cluster_backends = ("mxu", "pallas", "sparse")
         if tpu_scene is not None:
@@ -323,7 +399,9 @@ class WhittedRenderer(TiledRenderer):
         tile = min(self.context.configuration.trace_block, shard_lanes)
 
         shadows = self.shadows
+        primary_only = self.primary_only
         bounce_backend = self.bounce_backend
+        regroup = self.context.configuration.regroup
 
         def wave_fn(x, y, alive, key, spp, cam_arrays):
             del spp  # Whitted uses per-frame keys only
@@ -331,6 +409,7 @@ class WhittedRenderer(TiledRenderer):
                 scene, env, cam_arrays, x, y, alive, key,
                 max_depth, stack_size, backend=backend, tile=tile,
                 stack_depth=stack_depth, shadows=shadows,
-                bounce_backend=bounce_backend)
+                bounce_backend=bounce_backend, primary_only=primary_only,
+                regroup=regroup)
 
         return wave_fn

@@ -18,6 +18,11 @@ except Exception:  # pragma: no cover - fallback for newer jax
 if jax.config.jax_num_cpu_devices < 8:
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is compile-bound (each renderer
+# variant compiles multi-engine frame fns); repeat runs hit the cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/rayaccel_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
