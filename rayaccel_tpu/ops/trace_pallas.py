@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import safe_inv_dir
 from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
-from rayaccel_tpu.scene.clusters import (ATTR_COLS, RAY_FEATURES,
+from rayaccel_tpu.scene.clusters import (ATTR_COLS, ATTR_GEOM_COL,
+                                         ATTR_TRI_ID_COL, RAY_FEATURES,
                                          ClusterScene)
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 
@@ -178,7 +179,16 @@ def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile):
 
     cap_max = T * CAP_BUCKETS[-1]
     total = jnp.sum(counts_kept)
-    flat_pos = jnp.nonzero(k_mask.reshape(-1), size=cap_max, fill_value=0)[0]
+    # Masked-position extraction via a 1-key sort (jnp.nonzero measured
+    # ~10x slower than lax.sort for this, docs/PERF_NOTES.md).
+    pos_all = jnp.arange(T * n_cp, dtype=jnp.int32)
+    flat_pos = jax.lax.sort(
+        jnp.where(k_mask.reshape(-1), pos_all, jnp.int32(0x7FFFFFFF)))
+    if T * n_cp < cap_max:          # tiny scenes: every position fits
+        flat_pos = jnp.pad(flat_pos, (0, cap_max - T * n_cp),
+                           constant_values=0x7FFFFFFF)
+    else:
+        flat_pos = flat_pos[:cap_max]
     n_items = total
     last = flat_pos[jnp.maximum(n_items - 1, 0)]
     lane = jnp.arange(cap_max)
@@ -403,14 +413,15 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     hit = slot >= 0
     slot_safe = jnp.where(hit, slot, 0)
 
-    # ---- winner reconstruction: 3 per-ray gathers + exact MT ----
-    tri = jnp.take(cs.tri_id, slot_safe)
-    geom = jnp.take(cs.tri_geom, slot_safe, axis=0)        # (R, 12)
+    # ---- winner reconstruction: ONE per-ray row gather + exact MT ----
+    # (gathers are row-count bound, so triangle id + geometry + shading
+    # attributes all ride the same ATTR_COLS row, scene/clusters.py:45-50)
     attr = jnp.take(cs.attrs, slot_safe, axis=0)           # (R, ATTR_COLS)
+    tri = jax.lax.bitcast_convert_type(attr[:, ATTR_TRI_ID_COL], jnp.int32)
 
-    v0 = geom[:, 0:3]
-    e1 = geom[:, 3:6]
-    e2 = geom[:, 6:9]
+    v0 = attr[:, ATTR_GEOM_COL + 0:ATTR_GEOM_COL + 3]
+    e1 = attr[:, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6]
+    e2 = attr[:, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9]
     pvec = jnp.cross(rays.d, e2)
     det = jnp.sum(pvec * e1, axis=-1)
     inv = 1.0 / jnp.where(det == 0, 1.0, det)

@@ -46,7 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import safe_inv_dir
 from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
-from rayaccel_tpu.scene.clusters import RAY_FEATURES, ClusterScene
+from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, ATTR_TRI_ID_COL,
+                                         RAY_FEATURES, ClusterScene)
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 
 OUT_COLS = 8
@@ -368,13 +369,13 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     cluster_w = jnp.sum(jnp.where(ksel, lat_id, 0), axis=0)
     slot = jnp.where(hit, cluster_w * C + col_w, 0)
 
-    tri = jnp.take(cs.tri_id, slot)
-    geom = jnp.take(cs.tri_geom, slot, axis=0)
+    # One fused row gather: id + geometry + shading attrs (clusters.py).
     attr = jnp.take(cs.attrs, slot, axis=0)
+    tri = jax.lax.bitcast_convert_type(attr[:, ATTR_TRI_ID_COL], jnp.int32)
 
-    v0 = geom[:, 0:3]
-    e1 = geom[:, 3:6]
-    e2 = geom[:, 6:9]
+    v0 = attr[:, ATTR_GEOM_COL + 0:ATTR_GEOM_COL + 3]
+    e1 = attr[:, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6]
+    e2 = attr[:, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9]
     pvec = jnp.cross(rays.d, e2)
     det = jnp.sum(pvec * e1, axis=-1)
     inv = 1.0 / jnp.where(det == 0, 1.0, det)

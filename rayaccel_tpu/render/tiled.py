@@ -146,7 +146,7 @@ class TiledRenderer:
         hosts) is paid once per frame, never per wave; counters stay
         device-side until queried."""
         if self._frame_fn is None:
-            self._frame_fn = self._build_frame_fn(self._build_wave_fn())
+            self._frame_fn = self._build_frame_fn()
 
         fb3 = self._fb.reshape(self.n_waves, self.wave_size, 3)
         fb3, traced, dropped = self._frame_fn(
@@ -158,17 +158,12 @@ class TiledRenderer:
         self.end_frame()
         return Stats(rays_traced=traced)
 
-    def _build_frame_fn(self, wave_fn):
-        """Compile the whole-frame function: scan over waves around the
-        subclass wave fn. With a device mesh, rays/framebuffer lanes shard
-        over the 'tiles' axis (scene replicated via
-        parallel.mesh.replicate_scene), the ray counters psum over ICI —
-        the multi-chip analog of the reference's atomic tile counter
-        feeding identical workers (TiledRenderer.cpp:55-67). Each chip
-        folds its axis index into the RNG key so samples decorrelate
-        across shards."""
-        mesh = self.context.mesh
-        n_extra = len(self._extra_wave_args())
+    def _build_frame_body(self):
+        """Default frame body: a lax.scan over waves around the subclass
+        wave fn, each wave tracing all its bounces to completion.
+        Subclasses may override with a frame-pooled body (see
+        PathTracingRenderer) that shares bounce work across waves."""
+        wave_fn = self._build_wave_fn()
 
         def frame_body(fb3, xs, ys, alives, key, spp, *extra):
             def step(carry, inputs):
@@ -182,6 +177,20 @@ class TiledRenderer:
             (traced, dropped, _), rad = jax.lax.scan(
                 step, init, (xs, ys, alives))
             return fb3 + rad, traced, dropped
+
+        return frame_body
+
+    def _build_frame_fn(self):
+        """Compile the whole-frame function. With a device mesh,
+        rays/framebuffer lanes shard over the 'tiles' axis (scene
+        replicated via parallel.mesh.replicate_scene), the ray counters
+        psum over ICI — the multi-chip analog of the reference's atomic
+        tile counter feeding identical workers (TiledRenderer.cpp:55-67).
+        Each chip folds its axis index into the RNG key so samples
+        decorrelate across shards."""
+        mesh = self.context.mesh
+        n_extra = len(self._extra_wave_args())
+        frame_body = self._build_frame_body()
 
         if mesh is None:
             return jax.jit(frame_body)

@@ -43,19 +43,20 @@ from rayaccel_tpu.scene.bvh import Bvh2, KIND_LEAF, build_bvh
 from rayaccel_tpu.scene.data import SceneData
 
 RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
-ATTR_COLS = 32      # per-triangle attribute row, padded
+ATTR_COLS = 32      # per-triangle attribute row
 ATTR_TRI_ID_COL = 19  # original triangle id as raw int32 bits (f32 container)
-ATTR_CLUSTER_COL = 20  # cluster id (float-valued; small ints are exact)
+ATTR_GEOM_COL = 20    # [v0, e1, e2] exact geometry rides in cols 20:32 so
+                      # winner reconstruction needs ONE row gather
+                      # (per-lane gathers are row-count bound, ~90M rows/s)
 
 
 class ClusterScene(NamedTuple):
     """Device arrays for the MXU backend. N_c clusters of C padded tris."""
 
     G: jnp.ndarray            # (RAY_FEATURES, N_c*C*4) f32 intersection features
-    attrs: jnp.ndarray        # (N_c*C, ATTR_COLS) f32 shading attributes
+    attrs: jnp.ndarray        # (N_c*C, ATTR_COLS) f32 shading attributes +
+                              # exact [v0,e1,e2] geometry (ATTR_GEOM_COL)
     tri_id: jnp.ndarray       # (N_c*C,) int32 original triangle id (-1 pad)
-    tri_geom: jnp.ndarray     # (N_c*C, 12) f32 [v0, e1, e2] for exact
-                              # winner reconstruction (padded rows zero)
     cl_bbmin: jnp.ndarray     # (N_c, 3) f32
     cl_bbmax: jnp.ndarray     # (N_c, 3) f32
     mat_params: jnp.ndarray   # (M, 4) f32
@@ -177,17 +178,15 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     # Original triangle id as raw bits (selected with integer ops by the
     # Pallas kernel; -1 bit pattern for padding slots).
     A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)
-    A[:, ATTR_CLUSTER_COL] = np.repeat(np.arange(n_c, dtype=np.float32), C)
-
-    geom = np.zeros((TP, 12), np.float32)
-    geom[real, 0:3] = v0
-    geom[real, 3:6] = v1 - v0
-    geom[real, 6:9] = v2 - v0
+    # Exact [v0, e1, e2] for the winner-reconstruction Moller-Trumbore
+    # (padding rows stay zero => det = 0, rejected by the hit mask).
+    A[real, ATTR_GEOM_COL + 0:ATTR_GEOM_COL + 3] = v0
+    A[real, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6] = v1 - v0
+    A[real, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9] = v2 - v0
 
     return ClusterScene(
         G=jnp.asarray(G),
         attrs=jnp.asarray(A),
-        tri_geom=jnp.asarray(geom),
         tri_id=jnp.asarray(tri_id, jnp.int32),
         cl_bbmin=jnp.asarray(cl_bbmin),
         cl_bbmax=jnp.asarray(cl_bbmax),
