@@ -124,6 +124,7 @@ def main():
             "frame_ms": round(ms, 2),
             "frames": frames,
             "rays": rays,
+            "dropped": r.dropped,
             "device": str(jax.devices()[0]),
         }), flush=True)
 

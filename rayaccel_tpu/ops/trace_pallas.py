@@ -304,8 +304,9 @@ def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
     retires from the queue once every lane is occluded."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Mosaic supports HIGHEST (fp32) and DEFAULT (one-pass bf16) only.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH)
+            else jax.lax.Precision.DEFAULT)
     R = rays.o.shape[0]
     assert R % tile == 0
     T = R // tile
@@ -378,8 +379,9 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)."""
     if interpret is None:  # Mosaic requires hardware; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
+    # Mosaic supports HIGHEST (fp32) and DEFAULT (one-pass bf16) only.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH)
+            else jax.lax.Precision.DEFAULT)
     R = rays.o.shape[0]
     assert R % tile == 0
     T = R // tile

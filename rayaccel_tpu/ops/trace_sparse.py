@@ -271,7 +271,7 @@ def _nearest_k(entry, k):
 def trace_sparse(cs: ClusterScene, rays: Rays,
                  env: Environment | None = None,
                  active: jnp.ndarray | None = None,
-                 k_pairs: int = 8, pair_budget: int = 4,
+                 k_pairs: int = 6, pair_budget: int = 3,
                  sp_tile: int = 1024,
                  precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
                  interpret: bool | None = None):
@@ -279,13 +279,17 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
 
     ``k_pairs``: nearest clusters kept per ray (rays overlapping more drop
     the farthest, counted in overflow). ``pair_budget``: global pair-array
-    length in pairs per ray (MAXP = pair_budget * R).
+    length in pairs per ray (MAXP = pair_budget * R). Defaults k6/b3 won
+    the engine shootout (docs/PERF_NOTES.md) — mean per-ray overlap on
+    battlefield-class scenes is ~2.0, so 6 nearest clusters cover the
+    distribution tail; clamp drops surface in ``overflow``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
+    # Mosaic supports HIGHEST (fp32) and DEFAULT (one-pass bf16) only.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
-            else jax.lax.Precision.HIGH)
+            else jax.lax.Precision.DEFAULT)
     R = rays.o.shape[0]
     C = cs.cluster_size
     n_c = cs.n_clusters

@@ -370,47 +370,55 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     def flat(a):
         return a.reshape((N,) + a.shape[2:])
 
-    state = dict(
-        rays=Rays(flat(rays_s.o), flat(rays_s.d), flat(rays_s.tmin),
-                  flat(rays_s.tmax)),
-        weight=flat(weight_s), depth=flat(depth_s), alive=flat(alive_s),
-        lane=jnp.arange(N, dtype=jnp.int32),
-        miss_d=flat(miss_d_s), miss_w=flat(miss_w_s),
-        traced=traced0, dropped=jnp.sum(ov_s),
-        bounce=jnp.int32(0), region=jnp.int32(nb - 1),
-    )
-
     # ---- stage 2: one frame-level bounce loop over the pooled lanes ----
-    COLS = ("weight", "depth", "alive", "lane", "miss_d", "miss_w")
+    # The lane state is one packed (N, PCOLS) row matrix, kept PHYSICALLY
+    # live-compacted: each bounce sorts a (key, iota) pair over the
+    # current region (cheap: 2 operands), applies the permutation with ONE
+    # row gather (row-count bound, ~3.1ms/262k rows regardless of width),
+    # traces + shades the smallest prefix covering the live count, and
+    # writes results back by pure concatenation — no scatter anywhere
+    # (row scatters measured element-bound, ~10x a row gather; the
+    # 21-operand full-state sort this replaces measured 35ms at frame
+    # size — see docs/PERF_NOTES.md). Dead rows sink to the tail and are
+    # never touched again; a lane-id column unsorts the final radiance.
+    # P layout: o 0:3 | d 3:6 | tmin 6 | tmax 7 | weight 8:11
+    #           | miss_d 11:14 | miss_w 14:17 | depth 17 | alive 18
+    #           | lane 19 (exact small float)
+    P = jnp.concatenate([
+        flat(rays_s.o), flat(rays_s.d),
+        flat(rays_s.tmin)[:, None], flat(rays_s.tmax)[:, None],
+        flat(weight_s), flat(miss_d_s), flat(miss_w_s),
+        flat(depth_s).astype(jnp.float32)[:, None],
+        flat(alive_s).astype(jnp.float32)[:, None],
+        jnp.arange(N, dtype=jnp.float32)[:, None]], axis=1)
 
-    def slice_state(st, size):
-        r = st["rays"]
-        sub = Rays(r.o[:size], r.d[:size], r.tmin[:size], r.tmax[:size])
-        return sub, [st[k][:size] for k in COLS]
-
-    def write_back(st, size, sub, cols):
-        def put(full, part):
-            return part if size == N else full.at[:size].set(part)
-        out = dict(st)
-        r = st["rays"]
-        out["rays"] = Rays(put(r.o, sub.o), put(r.d, sub.d),
-                           put(r.tmin, sub.tmin), put(r.tmax, sub.tmax))
-        for k, c in zip(COLS, cols):
-            out[k] = put(st[k], c)
-        return out
+    state = dict(
+        P=P, region=jnp.int32(nb - 1),
+        traced=traced0, dropped=jnp.sum(ov_s), bounce=jnp.int32(0),
+    )
 
     def rg_branch(size):
         def br(st):
-            sub, cols = slice_state(st, size)
-            ksort = coherence_key(sub, cols[2], bmin, binv)
-            sub2, cols2 = regroup_state(ksort, sub, cols)
-            return write_back(st, size, sub2, cols2)
+            sub = st["P"][:size]
+            rall = Rays(sub[:, 0:3], sub[:, 3:6], sub[:, 6], sub[:, 7])
+            kk = coherence_key(rall, sub[:, 18] > 0, bmin, binv)
+            perm = jax.lax.sort(
+                (kk, jnp.arange(size, dtype=jnp.int32)), num_keys=1)[1]
+            sub = jnp.take(sub, perm, axis=0)            # one row gather
+            if size == N:
+                return dict(st, P=sub)
+            return dict(st, P=jnp.concatenate([sub, st["P"][size:]]))
         return br
 
     def tr_branch(size):
         def br(st):
-            sub, cols = slice_state(st, size)
-            weight, depth, alive, lane, miss_d, miss_w = cols
+            rows = st["P"][:size]
+            sub = Rays(rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7])
+            weight = rows[:, 8:11]
+            miss_d = rows[:, 11:14]
+            miss_w = rows[:, 14:17]
+            depth = rows[:, 17].astype(jnp.int32)
+            alive = rows[:, 18] > 0
             hits, surf, ov = _trace_and_surface(scene, sub, alive,
                                                 bounce_backend, tile,
                                                 stack_depth)
@@ -418,35 +426,42 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
             rays2, weight2, depth2, alive2, miss_d2, miss_w2 = \
                 _shade_advance(hits, surf, sub, weight, depth, alive,
                                miss_d, miss_w, skey, max_depth)
-            out = write_back(st, size, rays2,
-                             [weight2, depth2, alive2, lane,
-                              miss_d2, miss_w2])
-            out["traced"] = st["traced"] + jnp.sum(alive.astype(jnp.int32))
-            out["dropped"] = st["dropped"] + ov
-            out["bounce"] = st["bounce"] + 1
-            return out
+            new_rows = jnp.concatenate([
+                rays2.o, rays2.d, rays2.tmin[:, None], rays2.tmax[:, None],
+                weight2, miss_d2, miss_w2,
+                depth2.astype(jnp.float32)[:, None],
+                alive2.astype(jnp.float32)[:, None],
+                rows[:, 19:20]], axis=1)
+            P2 = (new_rows if size == N
+                  else jnp.concatenate([new_rows, st["P"][size:]]))
+            return dict(
+                P=P2, region=st["region"],
+                traced=st["traced"] + jnp.sum(alive.astype(jnp.int32)),
+                dropped=st["dropped"] + ov,
+                bounce=st["bounce"] + 1,
+            )
         return br
 
     rg_branches = [rg_branch(s) for s in sizes]
     tr_branches = [tr_branch(s) for s in sizes]
 
     def bounce_body(st):
-        # Compact live lanes to the front of the current region, then
-        # shrink the region to the smallest prefix covering them.
+        # Compact the current region (live first), then trace the smallest
+        # prefix covering the live count; the region shrinks monotonically.
         st = jax.lax.switch(st["region"], rg_branches, st)
-        n_live = jnp.sum(st["alive"].astype(jnp.int32))
+        n_live = jnp.sum((st["P"][:, 18] > 0).astype(jnp.int32))
         region = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
         st = dict(st, region=region)
         return jax.lax.switch(region, tr_branches, st)
 
-    out = jax.lax.while_loop(lambda st: jnp.any(st["alive"]), bounce_body,
-                             state)
+    out = jax.lax.while_loop(lambda st: jnp.any(st["P"][:, 18] > 0),
+                             bounce_body, state)
 
-    # ---- stage 3: deferred env lookup + unsort to frame lane order ----
-    env_rgb = sample_environment_onehot(env, out["miss_d"])
-    radiance = out["miss_w"] * env_rgb
+    # ---- stage 3: deferred env lookup + unsort by the lane column ----
+    env_rgb = sample_environment_onehot(env, out["P"][:, 11:14])
+    radiance = out["P"][:, 14:17] * env_rgb
     _, r0, r1, r2 = jax.lax.sort(
-        (out["lane"], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+        (out["P"][:, 19], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
         num_keys=1)
     rad = jnp.stack([r0, r1, r2], axis=1).reshape(W, R, 3)
     return rad, out["traced"], out["dropped"]
