@@ -173,9 +173,11 @@ def _select_kernel(F8_ref, bb_ref, out_ref, *, k, id_bits):
     """Fused cull + nearest-k selection for one ray tile, entirely in
     VMEM: slab-test every cluster AABB, pack (entry | cluster id) into
     one i32 word per candidate, extract the k nearest by repeated packed
-    min. Row k of the output carries each ray's total overlap count (for
-    clamp-overflow accounting). The (R, N_c) entry matrix never exists in
-    HBM — selection was the sparse engine's dominant XLA cost."""
+    min. Row k carries the SPILL entry — the (k+1)-th nearest packed
+    entry (0x7FFFFFFF if none) — which drives the exact multipass
+    restart; row k+1 carries each ray's total overlap count. The
+    (R, N_c) entry matrix never exists in HBM — selection was the sparse
+    engine's dominant XLA cost."""
     rb = F8_ref[0]                                   # (tile, 8)
     n_cp = bb_ref.shape[1]
     tile = rb.shape[0]
@@ -201,13 +203,16 @@ def _select_kernel(F8_ref, bb_ref, out_ref, *, k, id_bits):
         m = jnp.min(Ep, axis=1)                      # (tile,)
         rows.append(m[None, :])
         Ep = jnp.where(Ep == m[:, None], jnp.int32(0x7FFFFFFF), Ep)
+    rows.append(jnp.min(Ep, axis=1)[None, :])        # spill entry
     rows.append(cnt[None, :])
-    out_ref[0] = jnp.concatenate(rows, axis=0)       # (k+1, tile)
+    out_ref[0] = jnp.concatenate(rows, axis=0)       # (k+2, tile)
 
 
 def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
     """Run the fused select kernel over the wave. Returns
-    (lat_valid (k, R) bool, lat_id (k, R) i32 nearest-first, clamp_drop)."""
+    (lat_valid (k, R) bool, lat_id (k, R) i32 nearest-first,
+    spill (R,) i32 packed (k+1)-th nearest entry, cnt (R,) i32 overlap
+    count within the [tmin, tmax] window)."""
     R = o[0].shape[0]
     n_c = cs.n_clusters
     n_cp = -(-n_c // 128) * 128
@@ -236,17 +241,17 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
             pl.BlockSpec((1, sel_tile, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((8, n_cp), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k + 1, sel_tile), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, k + 1, sel_tile), jnp.int32),
+        out_specs=pl.BlockSpec((1, k + 2, sel_tile), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, k + 2, sel_tile), jnp.int32),
         interpret=interpret,
     )(F8, bb)
 
     packed = out[:, :k, :].transpose(1, 0, 2).reshape(k, R)
-    cnt = out[:, k, :].reshape(R)
+    spill = out[:, k, :].reshape(R)
+    cnt = out[:, k + 1, :].reshape(R)
     lat_valid = packed < _INF_PACK
     lat_id = packed & ((1 << id_bits) - 1)
-    clamp_drop = jnp.sum(jnp.maximum(cnt - k, 0))
-    return lat_valid, lat_id, clamp_drop
+    return lat_valid, lat_id, spill, cnt
 
 
 def _nearest_k(entry, k):
@@ -266,23 +271,143 @@ def _nearest_k(entry, k):
     return jnp.stack(vals), jnp.stack(ids)
 
 
+def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
+                 pair_budget, prec, interpret):
+    """One spill-window pass at static width R = len(tlo).
+
+    Fused cull+select lattice, cluster-sorted pair pipeline dispatched to
+    the smallest capacity bucket covering the ACTUAL pair count, packed
+    per-ray min merge. Returns (best_p (R,) i32 packed, slot_p (R,) i32,
+    spill (R,) i32 packed, trunc) — ``spill`` is the (K+1)-th nearest
+    entry used by the caller to restart unresolved rays."""
+    R = tlo.shape[0]
+    C = cs.cluster_size
+    n_c = cs.n_clusters
+    col_bits = max((C - 1).bit_length(), 1)
+    col_mask = (1 << col_bits) - 1
+    K = min(K, n_c)
+
+    # Pair-capacity buckets (ascending; never beyond the K*R lattice).
+    kr = K * R
+    kr_pad = -(-kr // SP) * SP
+    cap = min(max(SP, -(-pair_budget * R // SP) * SP), kr_pad)
+    fracs = (((1, 1), (2, 1)) if R <= 131072
+             else ((1, 2), (1, 1), (3, 2), (2, 1)))
+    cands = set()
+    for num, den in fracs:
+        m = -(-(R * num // den) // SP) * SP
+        if SP <= m < cap:
+            cands.add(m)
+    pair_buckets = sorted(cands) + [cap]
+
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, R), 0)
+    # Pack (ray, rank) into one sort payload: 2-operand sorts are ~1.5x
+    # cheaper than 3-operand at lattice scale (docs/PERF_NOTES.md).
+    rayrank = (jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[None, :] << 3, (K, R))
+        | jnp.arange(K, dtype=jnp.int32)[:, None]).reshape(-1)
+
+    lat_valid, lat_id, spill, _cnt = _select_nearest_pallas(
+        cs, o, inv_d, tlo, tmax_p, K, interpret)
+    total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
+
+    keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
+                     jnp.int32(_DEAD_CLUSTER))
+    cl_f, rr_f = jax.lax.sort((keys, rayrank), num_keys=1)
+    if kr_pad > kr:
+        cl_f = jnp.pad(cl_f, (0, kr_pad - kr),
+                       constant_values=_DEAD_CLUSTER)
+        rr_f = jnp.pad(rr_f, (0, kr_pad - kr))
+    F_pass = _ray_features(o, d)
+    F_pass = F_pass.at[:, 10].set(tlo).at[:, 11].set(tmax_p)
+
+    def pair_branch(mp):
+        Bp = mp // SP
+        max_items = Bp + n_c
+        item_buckets = [b for b in ITEM_BUCKETS if b < max_items]
+        item_buckets.append(max_items)
+        calls = [_make_call(b, Bp, SP, C, col_bits, prec, interpret)
+                 for b in item_buckets]
+
+        def br(cl_full, rr_full, F_pass):
+            cl_s = cl_full[:mp]
+            ray_s = rr_full[:mp] >> 3
+            rank_s = rr_full[:mp] & 7
+            Fp = jnp.take(F_pass, ray_s, axis=0)          # (mp, 16)
+            lanes = jnp.where(cl_s >= _DEAD_CLUSTER,
+                              jnp.int32(_DEAD_CLUSTER),
+                              cl_s | (rank_s << _RANK_SHIFT))
+            # Lane words ride in F column 12 as raw bits (_kernel doc).
+            Fp = Fp.at[:, 12].set(
+                jax.lax.bitcast_convert_type(lanes, jnp.float32))
+            Fp = Fp.reshape(Bp, SP, RAY_FEATURES)
+
+            # Work items: one per cluster run per block.
+            pos = jnp.arange(mp, dtype=jnp.int32)
+            prev = jnp.concatenate([cl_s[:1] - 1, cl_s[:-1]])
+            boundary = ((cl_s < _DEAD_CLUSTER)
+                        & ((pos % SP == 0) | (cl_s != prev)))
+            n_items = jnp.sum(boundary.astype(jnp.int32))
+            bpos = jax.lax.sort(jnp.where(boundary, pos, jnp.int32(mp)))
+            bpos = bpos[:max_items]
+            safe = jnp.minimum(bpos, mp - 1)
+            items = ((safe // SP) << 16) | (jnp.take(cl_s, safe) & 0xFFFF)
+            last = items[jnp.maximum(n_items - 1, 0)]
+            items = jnp.where(jnp.arange(max_items) < n_items, items, last)
+
+            bri = sum((n_items > b).astype(jnp.int32)
+                      for b in item_buckets[:-1])
+            out = jax.lax.switch(bri, calls, items, n_items, Fp, G3)
+
+            packed = jax.lax.bitcast_convert_type(out[:, :, 0],
+                                                  jnp.int32).reshape(mp)
+            scatter_ray = jnp.where(cl_s < _DEAD_CLUSTER, ray_s, R)
+            best_p = jnp.full((R,), jnp.int32(_MISS_BITS))
+            return best_p.at[scatter_ray].min(packed, mode="drop")
+        return br
+
+    pb = sum((total_pairs > b).astype(jnp.int32)
+             for b in pair_buckets[:-1])
+    best_p = jax.lax.switch(pb, [pair_branch(m) for m in pair_buckets],
+                            cl_f, rr_f, F_pass)
+
+    # Decode this pass's winner slot via its lattice rank.
+    rank_w = (best_p >> col_bits) & 7
+    col_w = best_p & col_mask
+    ksel = iota_k == rank_w[None, :]
+    cluster_w = jnp.sum(jnp.where(ksel, lat_id, 0), axis=0)
+    slot_p = cluster_w * C + col_w
+    trunc = jnp.maximum(total_pairs - pair_buckets[-1], 0)
+    return best_p, slot_p, spill, trunc
+
+
 @partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
-                                   "precision", "interpret"))
+                                   "precision", "interpret", "max_passes"))
 def trace_sparse(cs: ClusterScene, rays: Rays,
                  env: Environment | None = None,
                  active: jnp.ndarray | None = None,
-                 k_pairs: int = 6, pair_budget: int = 3,
+                 k_pairs: int = 4, pair_budget: int = 3,
                  sp_tile: int = 1024,
                  precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
-                 interpret: bool | None = None):
-    """Pair-centric trace. Returns (MxuHits, overflow).
+                 interpret: bool | None = None,
+                 max_passes: int = 4):
+    """Pair-centric trace, spill-exact multipass. Returns (MxuHits,
+    overflow).
 
-    ``k_pairs``: nearest clusters kept per ray (rays overlapping more drop
-    the farthest, counted in overflow). ``pair_budget``: global pair-array
-    length in pairs per ray (MAXP = pair_budget * R). Defaults k6/b3 won
-    the engine shootout (docs/PERF_NOTES.md) — mean per-ray overlap on
-    battlefield-class scenes is ~2.0, so 6 nearest clusters cover the
-    distribution tail; clamp drops surface in ``overflow``.
+    ``k_pairs`` nearest clusters are tested per ray per PASS; rays whose
+    overlap window spills past the K-th cluster (the select kernel
+    reports the (K+1)-th entry) restart with the window advanced to the
+    spill distance and their t range shrunk to the current best hit — the
+    batched analog of ordered traversal resuming from a short stack
+    (reference Kernels.h:169-211), so heavy-overlap rays are handled
+    EXACTLY instead of dropping clusters (per-ray overlap on
+    battlefield-class scenes: mean 2.1, p99 = 12 — docs/PERF_NOTES.md).
+
+    Pass 1 runs at full width; restart passes run at width R/16 on the
+    COMPACTED unresolved set (a full-width restart measured ~88ms at
+    frame scale for <1k unresolved rays). Passes cap at ``max_passes``;
+    rays still unresolved then are counted in ``overflow``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -294,84 +419,94 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     C = cs.cluster_size
     n_c = cs.n_clusters
     col_bits = max((C - 1).bit_length(), 1)
+    low_mask = (1 << (col_bits + 3)) - 1
     K = min(k_pairs, n_c)
     SP = sp_tile
-    MAXP = max(SP, -(-pair_budget * R // SP) * SP)
-    B = MAXP // SP
+
+    n_cp = -(-n_c // 128) * 128
+    id_bits = max((n_cp - 1).bit_length(), 1)
+    spill_clear = ~((1 << id_bits) - 1)
 
     o = tuple(rays.o[:, a] for a in range(3))
     inv3 = safe_inv_dir(rays.d)
     d = tuple(rays.d[:, a] for a in range(3))
     inv_d = tuple(inv3[:, a] for a in range(3))
     tmin = rays.tmin
-    tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax,
-                                                          -1.0)
+    tmax0 = rays.tmax if active is None else jnp.where(active, rays.tmax,
+                                                       -1.0)
 
-    # ---- 1+2. fused cull + nearest-K lattice (one pallas pass) ----
-    lat_valid, lat_id, clamp_drop = _select_nearest_pallas(
-        cs, o, inv_d, tmin, tmax_eff, K, interpret)
-    total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
+    def decode_t(b):
+        """Packed best -> approximate winner t (low bits cleared, so
+        <= the true t by < 2^-13 relative)."""
+        return jax.lax.bitcast_convert_type(b & ~low_mask, jnp.float32)
 
-    # ---- 3. sort pairs by cluster; truncate to MAXP; gather F rows ----
-    ray_ids = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :],
-                               (K, R)).reshape(-1)
-    ranks = jnp.broadcast_to(
-        jnp.arange(K, dtype=jnp.int32)[:, None], (K, R)).reshape(-1)
-    keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
-                     jnp.int32(_DEAD_CLUSTER))
-    cl_s, ray_s, rank_s = jax.lax.sort((keys, ray_ids, ranks), num_keys=1)
-    if K * R >= MAXP:
-        cl_s, ray_s, rank_s = cl_s[:MAXP], ray_s[:MAXP], rank_s[:MAXP]
-    else:
-        pad = MAXP - K * R
-        cl_s = jnp.pad(cl_s, (0, pad), constant_values=_DEAD_CLUSTER)
-        ray_s = jnp.pad(ray_s, (0, pad))
-        rank_s = jnp.pad(rank_s, (0, pad))
-    overflow = clamp_drop + jnp.maximum(total_pairs - MAXP, 0)
+    def decode_spill(s):
+        return jax.lax.bitcast_convert_type(s & spill_clear, jnp.float32)
 
-    F = _ray_features(o, d)
-    F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
-    Fp = jnp.take(F, ray_s, axis=0)                      # (MAXP, 16)
-    lanes = jnp.where(cl_s >= _DEAD_CLUSTER, jnp.int32(_DEAD_CLUSTER),
-                      cl_s | (rank_s << _RANK_SHIFT))
-    # Lane words ride in F column 12 as raw bits (see _kernel docstring).
-    Fp = Fp.at[:, 12].set(
-        jax.lax.bitcast_convert_type(lanes, jnp.float32))
-    Fp = Fp.reshape(B, SP, RAY_FEATURES)
+    # ---- pass 1: full width ----
+    best, slot, spill, trunc = _sparse_pass(
+        cs, o, d, inv_d, tmin, tmax0, K, SP, pair_budget, prec, interpret)
+    spill_e = decode_spill(spill)
+    unresolved = ((tmax0 > 0) & (spill < _INF_PACK)
+                  & (spill_e < jnp.minimum(decode_t(best), tmax0)))
+    tlo = jnp.where(unresolved, spill_e, tmin)
 
-    # ---- 4. work items: one per cluster run per block ----
-    pos = jnp.arange(MAXP, dtype=jnp.int32)
-    prev = jnp.concatenate([cl_s[:1] - 1, cl_s[:-1]])
-    boundary = (cl_s < _DEAD_CLUSTER) & ((pos % SP == 0) | (cl_s != prev))
-    n_items = jnp.sum(boundary.astype(jnp.int32))
-    bpos = jax.lax.sort(jnp.where(boundary, pos, jnp.int32(MAXP)))
-    max_items = B + n_c
-    bpos = bpos[:max_items]
-    safe = jnp.minimum(bpos, MAXP - 1)
-    items = ((safe // SP) << 16) | (jnp.take(cl_s, safe) & 0xFFFF)
-    last = items[jnp.maximum(n_items - 1, 0)]
-    items = jnp.where(jnp.arange(max_items) < n_items, items, last)
+    # ---- restart passes: compacted unresolved set at width R/16 ----
+    Rs = min(-(-R // SP) * SP, max(SP, (-(-R // 16 // SP)) * SP))
+    iota_r = jnp.arange(R, dtype=jnp.int32)
 
-    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
-    buckets = [b for b in ITEM_BUCKETS if b < max_items] + [max_items]
-    calls = [_make_call(b, B, SP, C, col_bits, prec, interpret)
-             for b in buckets]
-    branch = sum((n_items > b).astype(jnp.int32) for b in buckets[:-1])
-    out = jax.lax.switch(branch, calls, items, n_items, Fp, G3)
+    def sub_body(st):
+        uidx = jax.lax.sort(
+            jnp.where(st["unresolved"], iota_r, jnp.int32(0x7FFFFFFF)))
+        uidx = uidx[:Rs] if Rs <= R else jnp.pad(
+            uidx, (0, Rs - R), constant_values=0x7FFFFFFF)
+        valid = uidx < 0x7FFFFFFF
+        idx = jnp.where(valid, uidx, 0)
 
-    # ---- 5. per-ray merge + exact refine of the winner ----
-    packed = jax.lax.bitcast_convert_type(out[:, :, 0],
-                                          jnp.int32).reshape(MAXP)
-    scatter_ray = jnp.where(cl_s < _DEAD_CLUSTER, ray_s, R)  # drop dead
-    best = jnp.full((R,), jnp.int32(_MISS_BITS))
-    best = best.at[scatter_ray].min(packed, mode="drop")
+        o_s = jnp.take(rays.o, idx, axis=0)
+        d_s = jnp.take(rays.d, idx, axis=0)
+        inv_s = safe_inv_dir(d_s)
+        tlo_s = jnp.take(st["tlo"], idx)
+        best_s = jnp.take(st["best"], idx)
+        slot_s = jnp.take(st["slot"], idx)
+        tmax_r = jnp.take(tmax0, idx)
+        tmax_s = jnp.where(valid,
+                           jnp.minimum(decode_t(best_s), tmax_r), -1.0)
 
+        bp, sp_p, spill_s, trunc_s = _sparse_pass(
+            cs, tuple(o_s[:, a] for a in range(3)),
+            tuple(d_s[:, a] for a in range(3)),
+            tuple(inv_s[:, a] for a in range(3)),
+            tlo_s, tmax_s, K, SP, K, prec, interpret)
+
+        better = bp < best_s
+        merged = jnp.minimum(bp, best_s)
+        slot_m = jnp.where(better, sp_p, slot_s)
+        spill_es = decode_spill(spill_s)
+        unres_s = (valid & (spill_s < _INF_PACK)
+                   & (spill_es < jnp.minimum(decode_t(merged), tmax_r)))
+        tlo_m = jnp.where(unres_s, spill_es, tlo_s)
+
+        sidx = jnp.where(valid, idx, R)
+        return dict(
+            best=st["best"].at[sidx].set(merged, mode="drop"),
+            slot=st["slot"].at[sidx].set(slot_m, mode="drop"),
+            tlo=st["tlo"].at[sidx].set(tlo_m, mode="drop"),
+            unresolved=st["unresolved"].at[sidx].set(unres_s, mode="drop"),
+            n_pass=st["n_pass"] + 1,
+            overflow=st["overflow"] + trunc_s,
+        )
+
+    out = jax.lax.while_loop(
+        lambda st: jnp.any(st["unresolved"]) & (st["n_pass"] < max_passes),
+        sub_body,
+        dict(best=best, slot=slot, tlo=tlo, unresolved=unresolved,
+             n_pass=jnp.int32(1), overflow=trunc))
+
+    best = out["best"]
     hit = best < _MISS_BITS
-    rank_w = (best >> col_bits) & 7
-    col_w = best & ((1 << col_bits) - 1)
-    ksel = (jax.lax.broadcasted_iota(jnp.int32, (K, R), 0) == rank_w[None, :])
-    cluster_w = jnp.sum(jnp.where(ksel, lat_id, 0), axis=0)
-    slot = jnp.where(hit, cluster_w * C + col_w, 0)
+    slot = jnp.where(hit, out["slot"], 0)
+    overflow = out["overflow"] + jnp.sum(out["unresolved"].astype(jnp.int32))
 
     # One fused row gather: id + geometry + shading attrs (clusters.py).
     attr = jnp.take(cs.attrs, slot, axis=0)

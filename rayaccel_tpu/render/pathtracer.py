@@ -280,18 +280,6 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     return radiance, out["traced"], out["dropped"]
 
 
-def _prefix_sizes(n: int, step: int, max_sizes: int = 6):
-    """Live-prefix bucket sizes (ascending, last == n): powers-of-two
-    subdivisions of the pool that stay aligned to the trace engines'
-    tiling (multiples of ``step``)."""
-    sizes = [n]
-    s = n // 2
-    while len(sizes) < max_sizes and s >= max(8192, step) and s % step == 0:
-        sizes.append(s)
-        s //= 2
-    return sizes[::-1]
-
-
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
                                    "stack_depth", "sampler",
                                    "bounce_backend"))
@@ -307,34 +295,27 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
 
     The per-wave structure (pt_trace_wave under a scan) pays every bounce
     fixed cost — cull/select kernel ramp, pair-sort plumbing, the
-    per-cluster work-queue run tax, shade/regroup at wave width — once per
-    wave per bounce, and each wave's while_loop runs to ITS deepest lane.
+    per-cluster work-queue run tax, shade at wave width — once per wave
+    per bounce, and each wave's while_loop runs to ITS deepest lane.
     This function instead:
 
     1. traces + shades the coherent primaries one wave at a time under a
        ``lax.scan`` (dense engine, spatially-swizzled tiles),
     2. pools ALL surviving continuation rays across the frame into one
-       lane array, and runs a single frame-level bounce loop: each
-       iteration regroups the pool (coherence sort, live lanes compacted
-       to the front), then traces + shades only the smallest power-of-two
-       prefix covering the live count (a lax.switch over pre-compiled
-       sizes — no host sync).
+       frame-order lane array and runs a single frame-level bounce loop;
+       the sparse engine's occupancy-bucketed pair pipeline makes the
+       per-bounce cost track the LIVE count with no compaction pass.
 
     Fixed costs are paid once per BOUNCE instead of once per wave-bounce
-    (~15x fewer on a 983k-lane frame), and the live set stays dense as
-    paths die. This is the TPU analog of the reference's global in-flight
-    ray pool fed by partial streams (RayAccelerator.cpp:48-90 spawn
-    routing + :436 maxRaysInFlight) rather than per-tile scheduling.
+    (~15x fewer on a 983k-lane frame). This is the TPU analog of the
+    reference's global in-flight ray pool fed by partial streams
+    (RayAccelerator.cpp:48-90 spawn routing + :436 maxRaysInFlight)
+    rather than per-tile scheduling.
 
     Returns (radiance (W, R, 3) in original lane order, traced, dropped).
     """
     W, R = xs.shape
     N = W * R
-    bmin = jnp.min(scene.cl_bbmin, axis=0)
-    bext = jnp.max(scene.cl_bbmax, axis=0) - bmin
-    binv = 1.0 / jnp.maximum(bext, 1e-20)
-    sizes = _prefix_sizes(N, max(tile, 1024))
-    nb = len(sizes)
 
     # ---- stage 1: primary trace + first shade, wave by wave ----
     def prim_step(carry, inputs):
@@ -371,99 +352,45 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
         return a.reshape((N,) + a.shape[2:])
 
     # ---- stage 2: one frame-level bounce loop over the pooled lanes ----
-    # The lane state is one packed (N, PCOLS) row matrix, kept PHYSICALLY
-    # live-compacted: each bounce sorts a (key, iota) pair over the
-    # current region (cheap: 2 operands), applies the permutation with ONE
-    # row gather (row-count bound, ~3.1ms/262k rows regardless of width),
-    # traces + shades the smallest prefix covering the live count, and
-    # writes results back by pure concatenation — no scatter anywhere
-    # (row scatters measured element-bound, ~10x a row gather; the
-    # 21-operand full-state sort this replaces measured 35ms at frame
-    # size — see docs/PERF_NOTES.md). Dead rows sink to the tail and are
-    # never touched again; a lane-id column unsorts the final radiance.
-    # P layout: o 0:3 | d 3:6 | tmin 6 | tmax 7 | weight 8:11
-    #           | miss_d 11:14 | miss_w 14:17 | depth 17 | alive 18
-    #           | lane 19 (exact small float)
-    P = jnp.concatenate([
-        flat(rays_s.o), flat(rays_s.d),
-        flat(rays_s.tmin)[:, None], flat(rays_s.tmax)[:, None],
-        flat(weight_s), flat(miss_d_s), flat(miss_w_s),
-        flat(depth_s).astype(jnp.float32)[:, None],
-        flat(alive_s).astype(jnp.float32)[:, None],
-        jnp.arange(N, dtype=jnp.float32)[:, None]], axis=1)
-
+    # The lane state stays in FRAME ORDER for the whole loop: the sparse
+    # engine groups work by (ray, cluster) pairs internally, so ray order
+    # is irrelevant to it, and its pair pipeline dispatches to capacity
+    # buckets sized by the ACTUAL pair count — cost tracks live occupancy
+    # without any compaction. This removes the per-bounce state permute
+    # entirely (a 21-operand sort measured 35ms, perm-gather 49ms, row
+    # scatter 48ms at frame size — every variant of moving the pool was
+    # the dominant bounce cost; docs/PERF_NOTES.md).
     state = dict(
-        P=P, region=jnp.int32(nb - 1),
+        rays=Rays(flat(rays_s.o), flat(rays_s.d), flat(rays_s.tmin),
+                  flat(rays_s.tmax)),
+        weight=flat(weight_s), depth=flat(depth_s), alive=flat(alive_s),
+        miss_d=flat(miss_d_s), miss_w=flat(miss_w_s),
         traced=traced0, dropped=jnp.sum(ov_s), bounce=jnp.int32(0),
     )
 
-    def rg_branch(size):
-        def br(st):
-            sub = st["P"][:size]
-            rall = Rays(sub[:, 0:3], sub[:, 3:6], sub[:, 6], sub[:, 7])
-            kk = coherence_key(rall, sub[:, 18] > 0, bmin, binv)
-            perm = jax.lax.sort(
-                (kk, jnp.arange(size, dtype=jnp.int32)), num_keys=1)[1]
-            sub = jnp.take(sub, perm, axis=0)            # one row gather
-            if size == N:
-                return dict(st, P=sub)
-            return dict(st, P=jnp.concatenate([sub, st["P"][size:]]))
-        return br
-
-    def tr_branch(size):
-        def br(st):
-            rows = st["P"][:size]
-            sub = Rays(rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7])
-            weight = rows[:, 8:11]
-            miss_d = rows[:, 11:14]
-            miss_w = rows[:, 14:17]
-            depth = rows[:, 17].astype(jnp.int32)
-            alive = rows[:, 18] > 0
-            hits, surf, ov = _trace_and_surface(scene, sub, alive,
-                                                bounce_backend, tile,
-                                                stack_depth)
-            skey = jax.random.fold_in(key, 4096 + st["bounce"])
-            rays2, weight2, depth2, alive2, miss_d2, miss_w2 = \
-                _shade_advance(hits, surf, sub, weight, depth, alive,
-                               miss_d, miss_w, skey, max_depth)
-            new_rows = jnp.concatenate([
-                rays2.o, rays2.d, rays2.tmin[:, None], rays2.tmax[:, None],
-                weight2, miss_d2, miss_w2,
-                depth2.astype(jnp.float32)[:, None],
-                alive2.astype(jnp.float32)[:, None],
-                rows[:, 19:20]], axis=1)
-            P2 = (new_rows if size == N
-                  else jnp.concatenate([new_rows, st["P"][size:]]))
-            return dict(
-                P=P2, region=st["region"],
-                traced=st["traced"] + jnp.sum(alive.astype(jnp.int32)),
-                dropped=st["dropped"] + ov,
-                bounce=st["bounce"] + 1,
-            )
-        return br
-
-    rg_branches = [rg_branch(s) for s in sizes]
-    tr_branches = [tr_branch(s) for s in sizes]
-
     def bounce_body(st):
-        # Compact the current region (live first), then trace the smallest
-        # prefix covering the live count; the region shrinks monotonically.
-        st = jax.lax.switch(st["region"], rg_branches, st)
-        n_live = jnp.sum((st["P"][:, 18] > 0).astype(jnp.int32))
-        region = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
-        st = dict(st, region=region)
-        return jax.lax.switch(region, tr_branches, st)
+        hits, surf, ov = _trace_and_surface(scene, st["rays"], st["alive"],
+                                            bounce_backend, tile,
+                                            stack_depth)
+        skey = jax.random.fold_in(key, 4096 + st["bounce"])
+        rays2, weight2, depth2, alive2, miss_d2, miss_w2 = \
+            _shade_advance(hits, surf, st["rays"], st["weight"],
+                           st["depth"], st["alive"], st["miss_d"],
+                           st["miss_w"], skey, max_depth)
+        return dict(
+            rays=rays2, weight=weight2, depth=depth2, alive=alive2,
+            miss_d=miss_d2, miss_w=miss_w2,
+            traced=st["traced"] + jnp.sum(st["alive"].astype(jnp.int32)),
+            dropped=st["dropped"] + ov,
+            bounce=st["bounce"] + 1,
+        )
 
-    out = jax.lax.while_loop(lambda st: jnp.any(st["P"][:, 18] > 0),
-                             bounce_body, state)
+    out = jax.lax.while_loop(lambda st: jnp.any(st["alive"]), bounce_body,
+                             state)
 
-    # ---- stage 3: deferred env lookup + unsort by the lane column ----
-    env_rgb = sample_environment_onehot(env, out["P"][:, 11:14])
-    radiance = out["P"][:, 14:17] * env_rgb
-    _, r0, r1, r2 = jax.lax.sort(
-        (out["P"][:, 19], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
-        num_keys=1)
-    rad = jnp.stack([r0, r1, r2], axis=1).reshape(W, R, 3)
+    # ---- stage 3: deferred env lookup (state is in frame order) ----
+    env_rgb = sample_environment_onehot(env, out["miss_d"])
+    rad = (out["miss_w"] * env_rgb).reshape(W, R, 3)
     return rad, out["traced"], out["dropped"]
 
 

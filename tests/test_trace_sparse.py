@@ -101,6 +101,25 @@ def test_sparse_k_clamp_counts_overflow(scenes):
                                   np.asarray(tight.hits.tri))
 
 
+def test_sparse_multipass_exact_with_tiny_k(scenes, rng):
+    """k_pairs smaller than the overlap tail must still be EXACT: the
+    spill-entry restart advances the window to farther clusters (the
+    batched analog of ordered traversal resuming from a short stack,
+    reference Kernels.h:169-211) instead of dropping them."""
+    sd, ts, cs = scenes
+    n = 2048
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    res, overflow = trace_sparse(cs, rays, sp_tile=512, k_pairs=2,
+                                 max_passes=8)
+    assert int(overflow) == 0
+    assert_hits_match_near_ties(h_ref, res.hits, rays)
+
+
 def test_select_kernel_matches_reference(scenes, rng):
     """The fused cull+select pallas kernel must pick the same nearest-K
     clusters as the XLA argmin-extract reference (up to packed-entry
@@ -123,8 +142,8 @@ def test_select_kernel_matches_reference(scenes, rng):
     tmax = jnp.full(n, 1e6)
 
     K = 6
-    lv, lid, drop = _select_nearest_pallas(cs, oc, invc, tmin, tmax, K,
-                                           interpret=True)
+    lv, lid, spill, cnt = _select_nearest_pallas(cs, oc, invc, tmin, tmax,
+                                                 K, interpret=True)
 
     t0 = jnp.broadcast_to(tmin[:, None], (n, cs.n_clusters))
     t1 = jnp.broadcast_to(tmax[:, None], (n, cs.n_clusters))
@@ -144,5 +163,9 @@ def test_select_kernel_matches_reference(scenes, rng):
     want = np.where(ref_valid, np.asarray(ref_id), -1)
     for r in range(n):
         assert set(got[:, r]) == set(want[:, r]), r
-    assert int(drop) == int(jnp.sum(jnp.maximum(
-        jnp.sum((entry < _INF).astype(jnp.int32), axis=1) - K, 0)))
+    # cnt row = per-ray overlap; spill row = packed (K+1)-th entry, valid
+    # exactly when the overlap exceeds K.
+    ref_cnt = np.asarray(jnp.sum((entry < _INF).astype(jnp.int32), axis=1))
+    np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
+    np.testing.assert_array_equal(np.asarray(spill) < 0x7F800000,
+                                  ref_cnt > K)
