@@ -169,7 +169,7 @@ def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
 _INF_PACK = 0x7F800000    # +inf bit pattern: packed-entry invalid threshold
 
 
-def _select_kernel(F8_ref, bb_ref, out_ref, *, k, id_bits):
+def _select_kernel(tl_ref, F8_ref, bb_ref, out_ref, *, k, id_bits):
     """Fused cull + nearest-k selection for one ray tile, entirely in
     VMEM: slab-test every cluster AABB, pack (entry | cluster id) into
     one i32 word per candidate, extract the k nearest by repeated packed
@@ -234,22 +234,56 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
     F8 = jnp.stack([o[0], o[1], o[2], inv_d[0], inv_d[1], inv_d[2],
                     tmin, tmax_eff], axis=1).reshape(T, sel_tile, 8)
 
-    out = pl.pallas_call(
-        partial(_select_kernel, k=k, id_bits=id_bits),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, sel_tile, 8), lambda i: (i, 0, 0)),
-            pl.BlockSpec((8, n_cp), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, k + 2, sel_tile), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, k + 2, sel_tile), jnp.int32),
-        interpret=interpret,
-    )(F8, bb)
+    # Dead-tile skip: the slab+extract body is the sparse engine's
+    # biggest VPU cost and is paid per TILE regardless of its live
+    # count. Dead lanes cluster spatially (sky blocks, shrunk-pool
+    # tails), so whole dead tiles are common — the grid runs over a
+    # live-tile id list (scalar-prefetched) at the smallest capacity
+    # bucket covering the live-tile count; dead tiles' output blocks are
+    # never written and get masked below.
+    tile_live = jnp.any((tmax_eff > 0).reshape(T, sel_tile), axis=1)
+    n_lt = jnp.sum(tile_live.astype(jnp.int32))
+    tl_ids = jax.lax.sort(
+        jnp.where(tile_live, jnp.arange(T, dtype=jnp.int32),
+                  jnp.int32(0x7FFFFFFF)))
+    tl_ids = jnp.minimum(tl_ids, T - 1)   # pad steps re-run a live tile
 
+    kern = partial(_select_kernel, k=k, id_bits=id_bits)
+
+    def make_call(steps):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((1, sel_tile, 8), lambda i, tl: (tl[i], 0, 0)),
+                pl.BlockSpec((8, n_cp), lambda i, tl: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, k + 2, sel_tile),
+                                   lambda i, tl: (tl[i], 0, 0)),
+        )
+
+        def call(tl, F8, bb):
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((T, k + 2, sel_tile),
+                                               jnp.int32),
+                grid_spec=grid_spec,
+                interpret=interpret,
+            )(tl[:steps], F8, bb)
+
+        return call
+
+    buckets = [t for t in (T // 4, T // 2) if t >= 8] + [T]
+    branch = sum((n_lt > b).astype(jnp.int32) for b in buckets[:-1])
+    out = jax.lax.switch(branch, [make_call(b) for b in buckets],
+                         tl_ids, F8, bb)
+
+    lane_live = jnp.repeat(tile_live, sel_tile)          # (R,)
     packed = out[:, :k, :].transpose(1, 0, 2).reshape(k, R)
-    spill = out[:, k, :].reshape(R)
-    cnt = out[:, k + 1, :].reshape(R)
-    lat_valid = packed < _INF_PACK
+    spill = jnp.where(lane_live, out[:, k, :].reshape(R),
+                      jnp.int32(0x7FFFFFFF))
+    cnt = jnp.where(lane_live, out[:, k + 1, :].reshape(R), 0)
+    lat_valid = (packed < _INF_PACK) & lane_live[None, :]
     lat_id = packed & ((1 << id_bits) - 1)
     return lat_valid, lat_id, spill, cnt
 

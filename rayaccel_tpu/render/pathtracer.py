@@ -365,10 +365,12 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
                   flat(rays_s.tmax)),
         weight=flat(weight_s), depth=flat(depth_s), alive=flat(alive_s),
         miss_d=flat(miss_d_s), miss_w=flat(miss_w_s),
+        lane=jnp.arange(N, dtype=jnp.int32),
         traced=traced0, dropped=jnp.sum(ov_s), bounce=jnp.int32(0),
     )
 
     def bounce_body(st):
+        n_live = jnp.sum(st["alive"].astype(jnp.int32))
         hits, surf, ov = _trace_and_surface(scene, st["rays"], st["alive"],
                                             bounce_backend, tile,
                                             stack_depth)
@@ -379,19 +381,89 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
                            st["miss_w"], skey, max_depth)
         return dict(
             rays=rays2, weight=weight2, depth=depth2, alive=alive2,
-            miss_d=miss_d2, miss_w=miss_w2,
-            traced=st["traced"] + jnp.sum(st["alive"].astype(jnp.int32)),
+            miss_d=miss_d2, miss_w=miss_w2, lane=st["lane"],
+            traced=st["traced"] + n_live,
             dropped=st["dropped"] + ov,
             bounce=st["bounce"] + 1,
         )
 
-    out = jax.lax.while_loop(lambda st: jnp.any(st["alive"]), bounce_body,
-                             state)
+    # Staged width shrink: a bounce iteration pays the select kernel +
+    # lattice sort at the POOL width no matter how few lanes remain
+    # (~115ms at frame width). When the live set fits a quarter of the
+    # current width, the pool shrinks ONCE — live-first 1-operand sort,
+    # one head row-gather — and every later bounce runs at the smaller
+    # width. Lanes left behind are dead; their (lane, miss_d, miss_w)
+    # rows are saved as a piece for the final env pass. No scatters
+    # anywhere (element-bound, measured ~10x a row gather).
+    stage_widths = [N]
+    while stage_widths[-1] // 4 >= 8192:
+        stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
 
-    # ---- stage 3: deferred env lookup (state is in frame order) ----
-    env_rgb = sample_environment_onehot(env, out["miss_d"])
-    rad = (out["miss_w"] * env_rgb).reshape(W, R, 3)
-    return rad, out["traced"], out["dropped"]
+    def run_stage(st, width, next_width):
+        def cond(s):
+            more = jnp.any(s["alive"])
+            if next_width is None:
+                return more
+            return more & (jnp.sum(s["alive"].astype(jnp.int32))
+                           > next_width)
+
+        st = jax.lax.while_loop(cond, bounce_body, st)
+        if next_width is None:
+            return st, None
+
+        # Shrink: live lanes first, head keeps the live set (live count
+        # <= next_width by the loop condition), tail piece keeps only
+        # what the env pass needs.
+        r = st["rays"]
+        iota_w = jnp.arange(width, dtype=jnp.int32)
+        perm = jax.lax.sort(
+            (jnp.where(st["alive"], iota_w, jnp.int32(0x7FFFFFFF)),
+             iota_w), num_keys=1)[1]
+        S = jnp.concatenate([
+            r.o, r.d, r.tmin[:, None], r.tmax[:, None], st["weight"],
+            st["miss_d"], st["miss_w"],
+            st["depth"].astype(jnp.float32)[:, None],
+            st["alive"].astype(jnp.float32)[:, None]], axis=1)
+        head = jnp.take(S, perm[:next_width], axis=0)
+        lane_h = jnp.take(st["lane"], perm[:next_width])
+
+        S7 = jnp.concatenate([st["lane"].astype(jnp.float32)[:, None],
+                              st["miss_d"], st["miss_w"]], axis=1)
+        piece = jnp.take(S7, perm[next_width:], axis=0)
+
+        st2 = dict(
+            rays=Rays(head[:, 0:3], head[:, 3:6], head[:, 6], head[:, 7]),
+            weight=head[:, 8:11], miss_d=head[:, 11:14],
+            miss_w=head[:, 14:17],
+            depth=head[:, 17].astype(jnp.int32),
+            alive=head[:, 18] > 0, lane=lane_h,
+            traced=st["traced"], dropped=st["dropped"],
+            bounce=st["bounce"],
+        )
+        return st2, piece
+
+    pieces = []
+    st = state
+    for si, w_s in enumerate(stage_widths):
+        nxt = stage_widths[si + 1] if si + 1 < len(stage_widths) else None
+        st, piece = run_stage(st, w_s, nxt)
+        if piece is not None:
+            pieces.append(piece)
+    pieces.append(jnp.concatenate(
+        [st["lane"].astype(jnp.float32)[:, None], st["miss_d"],
+         st["miss_w"]], axis=1))
+
+    # ---- stage 3: deferred env lookup + reassembly by lane id ----
+    allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+    env_rgb = sample_environment_onehot(env, allp[:, 1:4])
+    radiance = allp[:, 4:7] * env_rgb
+    if len(pieces) > 1:
+        _, r0, r1, r2 = jax.lax.sort(
+            (allp[:, 0], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+            num_keys=1)
+        radiance = jnp.stack([r0, r1, r2], axis=1)
+    rad = radiance.reshape(W, R, 3)
+    return rad, st["traced"], st["dropped"]
 
 
 class PathTracingRenderer(TiledRenderer):

@@ -5,6 +5,9 @@ Every stage is timed with utils.profiling's chained-iteration pattern
 matter for the next optimization step. Prints JSON lines.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 
