@@ -90,6 +90,22 @@ def test_pt_progressive_and_finite(small_scene, backend):
     assert 3 * n <= total <= 3 * n * (s.max_depth + 1)
 
 
+def test_pt_pooled_matches_per_wave_depth0(small_scene):
+    """The frame-pooled loop (regroup=True) and the per-wave fallback
+    (regroup=False) derive identical primary jitter keys, so at
+    max_depth=0 — where no stochastic shading happens — their images
+    must match bitwise. Pins the pooled pipeline's piece reassembly."""
+    import numpy as np
+    s = type(small_scene)(**{**small_scene.__dict__, "max_depth": 0})
+    imgs = {}
+    for pooled in (True, False):
+        r = racc.PathTracingRenderer(make_context("mxu", regroup=pooled),
+                                     cam_of(s), s)
+        r.render_frame(jax.random.PRNGKey(11))
+        imgs[pooled] = r.image()
+    np.testing.assert_array_equal(imgs[True], imgs[False])
+
+
 def test_pt_backends_agree(small_scene):
     """The two traversal engines must produce statistically identical
     renders — the cross-engine oracle (reference: Embree vs OpenCL image
