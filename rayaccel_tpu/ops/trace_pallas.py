@@ -116,7 +116,9 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
                 jax.lax.bitcast_convert_type(t_n, jnp.int32)
                 ^ (det_i & _SIGN), jnp.float32)
             best_f = jax.lax.bitcast_convert_type(best_i, jnp.float32)
-            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+            # ad > 0 is implied: if ad == 0 then ts > ad*tmin and
+            # ts < ad*best cannot both hold (tmin >= 0 framework-wide).
+            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                      & (ts > ad * tmin) & (ts < ad * best_f[:, None]))
             score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
                               3e38)
@@ -248,7 +250,7 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             ts = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(t_n, jnp.int32)
                 ^ (det_i & _SIGN), jnp.float32)
-            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                      & (ts > ad * tmin) & (ts <= ad * tmax))
             occ = occ | jnp.any(valid, axis=1)
         out_ref[0] = jnp.concatenate(

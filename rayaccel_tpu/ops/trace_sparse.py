@@ -114,7 +114,8 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
             jax.lax.bitcast_convert_type(t_n, jnp.int32)
             ^ (det_i & _SIGN), jnp.float32)
         tmax = Fm[:, 11][:, None]
-        valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad) & (ad > 0)
+        # ad > 0 implied by the strict t-range tests (tmin >= 0).
+        valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                  & (ts > ad * tmin) & (ts < ad * tmax))
         # Exact division (unlike the dense kernel's approx reciprocal):
         # this body is grid-tax-bound, so the extra VPU cycles are free
