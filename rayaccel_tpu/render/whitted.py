@@ -129,7 +129,11 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         bounce_backend = backend
     rays = generate_pixel_rays(cam_arrays, x, y, key=key)
     level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
-    do_regroup = (regroup and backend != "xla" and bounce_backend != "xla")
+    # Regrouping pays a wide multi-column state move per bounce; with
+    # primary_only (BASELINE config 1) no bounce ever follows the first
+    # shade, so the move would be pure waste (~8ms/wave measured).
+    do_regroup = (regroup and not primary_only
+                  and backend != "xla" and bounce_backend != "xla")
     if do_regroup:
         from rayaccel_tpu.render.regroup import coherence_key, regroup_state
         bmin = jnp.min(scene.cl_bbmin, axis=0)
