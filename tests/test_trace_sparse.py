@@ -120,6 +120,21 @@ def test_sparse_multipass_exact_with_tiny_k(scenes, rng):
     assert_hits_match_near_ties(h_ref, res.hits, rays)
 
 
+def test_sparse_pass_cap_reports_unresolved(scenes):
+    """With the pass cap at 1, rays whose overlap spills past k_pairs
+    cannot be proven complete and must be counted in overflow; raising
+    the cap resolves them and overflow returns to 0."""
+    sd, ts, cs = scenes
+    n = 512
+    o = jnp.broadcast_to(jnp.asarray([0.3, 50.0, 0.2]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, -1.0, 0.0]), (n, 3))
+    rays = make_rays(o, d, tmin=0.0)
+    _, ov1 = trace_sparse(cs, rays, k_pairs=1, sp_tile=512, max_passes=1)
+    _, ov8 = trace_sparse(cs, rays, k_pairs=1, sp_tile=512, max_passes=8)
+    assert int(ov8) == 0
+    assert int(ov1) >= int(ov8)
+
+
 def test_select_kernel_matches_reference(scenes, rng):
     """The fused cull+select pallas kernel must pick the same nearest-K
     clusters as the XLA argmin-extract reference (up to packed-entry
