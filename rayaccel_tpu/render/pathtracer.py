@@ -45,8 +45,8 @@ from rayaccel_tpu.render.regroup import coherence_key, regroup_state
 from rayaccel_tpu.render.shading import (interpolate_surface, merge_rays,
                                          spawn_secondary, surface_from_attrs)
 from rayaccel_tpu.render.tiled import TiledRenderer
-from rayaccel_tpu.scene.clusters import ATTR_COLS, ClusterScene, compile_clusters
-from rayaccel_tpu.scene.compile import TpuScene, compile_scene
+from rayaccel_tpu.scene.clusters import ClusterScene, compile_clusters
+from rayaccel_tpu.scene.compile import compile_scene
 from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import Hits, INVALID_TRIANGLE, Rays
 
