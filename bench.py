@@ -55,7 +55,7 @@ def main():
     wave = int(os.environ.get("BENCH_WAVE", 128 * 128 * 4))
     tile = int(os.environ.get("BENCH_TILE", 1024))
     cs_size = int(os.environ.get("BENCH_CS", 128))
-    frames = int(os.environ.get("BENCH_FRAMES", 4))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
     only = os.environ.get("BENCH_ONLY")  # e.g. "2" or "1,3"
     configs = set((only or "1,2,3,4,5").split(","))
 
