@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave-size", type=int, default=128 * 128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="out.png", help=".png or .pfm output")
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="re-write --out every K progressive samples — the "
+                        "file-backed analog of the reference's per-frame "
+                        "present (DisplayBuffer.cpp:106-132)")
     p.add_argument("--checkpoint", help="save/resume accumulation state here")
     p.add_argument("--profile", action="store_true",
                    help="measure per-stage timings (trace/shade/regroup/env) "
@@ -139,6 +143,13 @@ def main(argv=None) -> int:
 
     stats = RenderStats()
 
+    def write(path):
+        hdr = renderer.image()
+        if path.endswith(".pfm"):
+            img.write_pfm(path, hdr.astype(np.float32))
+        else:
+            img.write_png(path, img.tonemap(hdr, 1))
+
     def accumulate(frame_key):
         while renderer.spp < args.spp:
             key = jax.random.fold_in(frame_key, renderer.spp)
@@ -146,13 +157,10 @@ def main(argv=None) -> int:
                 ft.run(key)
             if not args.quiet:
                 print(stats.format_line())
-
-    def write(path):
-        hdr = renderer.image()
-        if path.endswith(".pfm"):
-            img.write_pfm(path, hdr.astype(np.float32))
-        else:
-            img.write_png(path, img.tonemap(hdr, 1))
+            if (args.preview_every
+                    and renderer.spp % args.preview_every == 0
+                    and renderer.spp < args.spp):
+                write(args.out)
 
     if args.anim_frames:
         # Scripted camera path: each movement resets accumulation and

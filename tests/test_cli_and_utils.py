@@ -162,6 +162,27 @@ def test_cli_resume_uses_stored_key(tmp_path):
     np.testing.assert_array_equal(ia, ib)
 
 
+def test_cli_preview_every_presents_progressively(tmp_path):
+    """--preview-every re-writes the output during accumulation (the
+    reference's per-frame present, DisplayBuffer.cpp:106-132): the
+    preview written at 1 spp must differ from the final 3-spp image."""
+    import os
+    from rayaccel_tpu.scene.loader import save_scene
+    s = make_test_scene(viewport=(64, 64))
+    path = str(tmp_path / "scene.bin")
+    save_scene(path, s)
+    out = str(tmp_path / "p.pfm")
+    common = ["--scene", path, "--quiet", "--wave-size", "4096",
+              "--max-depth", "1", "--backend", "mxu", "--out", out]
+    assert cli_main(common + ["--spp", "1"]) == 0
+    one_spp = np.fromfile(out, np.float32)
+    os.remove(out)
+    assert cli_main(common + ["--spp", "3", "--preview-every", "1"]) == 0
+    final = np.fromfile(out, np.float32)
+    assert final.shape == one_spp.shape
+    assert not np.array_equal(final, one_spp)
+
+
 def test_cli_orbit_animation(tmp_path):
     """Scripted camera path: N frames, accumulation reset per move, the
     file-sequence analog of the reference's interactive loop
