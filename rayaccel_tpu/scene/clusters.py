@@ -94,6 +94,32 @@ def _cluster_cut(bvh: Bvh2, max_tris: int):
     return out
 
 
+def _merge_cut(cut, max_tris: int, sa_gain: float = 0.8):
+    """Greedily merge ADJACENT cut ranges (they partition prim_order, so
+    adjacency = contiguity) when the union still fits a cluster and its
+    bounding box is tight: union surface area <= sa_gain * (sa_a + sa_b).
+    The BVH cut descends whenever a subtree exceeds max_tris, which
+    strands sibling fragments in half-empty clusters; merging them cuts
+    the cluster count the select/cull stages scan per ray without
+    increasing expected per-ray overlap (SA ~ hit probability)."""
+    def sa(bmin, bmax):
+        e = np.maximum(np.asarray(bmax) - np.asarray(bmin), 0.0)
+        return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    out = [list(cut[0])]
+    for lo, hi, bmin, bmax in cut[1:]:
+        plo, phi, pbmin, pbmax = out[-1]
+        if hi - plo <= max_tris:
+            ubmin = np.minimum(pbmin, bmin)
+            ubmax = np.maximum(pbmax, bmax)
+            if sa(ubmin, ubmax) <= sa_gain * (sa(pbmin, pbmax)
+                                              + sa(bmin, bmax)):
+                out[-1] = [plo, hi, ubmin, ubmax]
+                continue
+        out.append([lo, hi, bmin, bmax])
+    return [tuple(x) for x in out]
+
+
 def _subtree_range(bvh: Bvh2, i: int):
     j = i
     while bvh.kind[j] != KIND_LEAF:
@@ -132,7 +158,7 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     if bvh is None:
         bvh = build_bvh(scene.vertices, idx, max_leaf=min(cluster_size, 127))
 
-    cut = _cluster_cut(bvh, cluster_size)
+    cut = _merge_cut(_cluster_cut(bvh, cluster_size), cluster_size)
     n_c = len(cut)
     C = cluster_size
     TP = n_c * C
