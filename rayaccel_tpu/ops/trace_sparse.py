@@ -225,12 +225,13 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
     bb = bb.at[0:3, :n_c].set(cs.cl_bbmin.T)
     bb = bb.at[3:6, :n_c].set(cs.cl_bbmax.T)
 
-    # Ray tile sized to keep the (tile, n_cp) entry block (and its ~4x
-    # working set) in VMEM. Fat tiles matter: the kernel measured ~30us
-    # of per-grid-step overhead at frame width — 8x fewer boxes changed
-    # its time by only 14% — so fewer, larger steps dominate body cost.
-    sel_tile = 2048
-    while sel_tile * n_cp * 4 > (8 << 20) or R % sel_tile:
+    # Ray tile sized to keep the (tile, n_cp) entry block in VMEM.
+    # Measured dead ends (docs/ROUND3_PLAN.md): the kernel's ~30ms at
+    # frame width is neither slab-count- nor step-count-bound — 2048-ray
+    # tiles matched 1024 in isolation and ran ~6% slower in-frame, so
+    # 1024 stays; the residual needs a Mosaic-level look.
+    sel_tile = 1024
+    while sel_tile * n_cp * 4 > (4 << 20) or R % sel_tile:
         sel_tile //= 2
         assert sel_tile >= 8, f"wave size {R} has no usable select tile"
     T = R // sel_tile
