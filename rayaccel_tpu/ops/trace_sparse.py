@@ -178,33 +178,38 @@ def _select_kernel(tl_ref, F8_ref, bb_ref, out_ref, *, k, id_bits):
     entry (0x7FFFFFFF if none) — which drives the exact multipass
     restart; row k+1 carries each ray's total overlap count. The
     (R, N_c) entry matrix never exists in HBM — selection was the sparse
-    engine's dominant XLA cost."""
-    rb = F8_ref[0]                                   # (tile, 8)
+    engine's dominant XLA cost.
+
+    Everything lives TRANSPOSED — rays on the 128-lane minor axis,
+    clusters on sublanes — so the ray-feature block is lane-aligned and
+    the k min-extractions reduce over the sublane axis instead of
+    across lanes."""
+    rb = F8_ref[0]                                   # (8, tile)
     n_cp = bb_ref.shape[1]
-    tile = rb.shape[0]
-    t0 = jnp.broadcast_to(rb[:, 6][:, None], (tile, n_cp))
-    t1 = jnp.broadcast_to(rb[:, 7][:, None], (tile, n_cp))
+    tile = rb.shape[1]
+    t0 = jnp.broadcast_to(rb[6][None, :], (n_cp, tile))
+    t1 = jnp.broadcast_to(rb[7][None, :], (n_cp, tile))
     for a in range(3):
-        tn = (bb_ref[a][None, :] - rb[:, a][:, None]) * rb[:, 3 + a][:, None]
-        tf = (bb_ref[3 + a][None, :] - rb[:, a][:, None]) * rb[:, 3 + a][:, None]
+        tn = (bb_ref[a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
+        tf = (bb_ref[3 + a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
         t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
         t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
     E = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), jnp.inf)
 
     low = (1 << id_bits) - 1
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, n_cp), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_cp, tile), 0)
     # Entries are non-negative, so their bits order like the floats; the
     # cluster id rides in the low mantissa (selection-order noise only —
     # every selected pair is still tested against the exact t range).
     Ep = ((jax.lax.bitcast_convert_type(E, jnp.int32) | low) ^ low) | iota
-    cnt = jnp.sum((Ep < _INF_PACK).astype(jnp.int32), axis=1)
+    cnt = jnp.sum((Ep < _INF_PACK).astype(jnp.int32), axis=0)
 
     rows = []
     for _ in range(k):
-        m = jnp.min(Ep, axis=1)                      # (tile,)
+        m = jnp.min(Ep, axis=0)                      # (tile,)
         rows.append(m[None, :])
-        Ep = jnp.where(Ep == m[:, None], jnp.int32(0x7FFFFFFF), Ep)
-    rows.append(jnp.min(Ep, axis=1)[None, :])        # spill entry
+        Ep = jnp.where(Ep == m[None, :], jnp.int32(0x7FFFFFFF), Ep)
+    rows.append(jnp.min(Ep, axis=0)[None, :])        # spill entry
     rows.append(cnt[None, :])
     out_ref[0] = jnp.concatenate(rows, axis=0)       # (k+2, tile)
 
@@ -236,8 +241,10 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
         assert sel_tile >= 8, f"wave size {R} has no usable select tile"
     T = R // sel_tile
 
+    # (T, 8, sel_tile): rays ride the lane-aligned minor axis.
     F8 = jnp.stack([o[0], o[1], o[2], inv_d[0], inv_d[1], inv_d[2],
-                    tmin, tmax_eff], axis=1).reshape(T, sel_tile, 8)
+                    tmin, tmax_eff], axis=0).reshape(8, T, sel_tile)
+    F8 = F8.transpose(1, 0, 2)
 
     # Dead-tile skip: the slab+extract body is the sparse engine's
     # biggest VPU cost and is paid per TILE regardless of its live
@@ -260,7 +267,7 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
             num_scalar_prefetch=1,
             grid=(steps,),
             in_specs=[
-                pl.BlockSpec((1, sel_tile, 8), lambda i, tl: (tl[i], 0, 0)),
+                pl.BlockSpec((1, 8, sel_tile), lambda i, tl: (tl[i], 0, 0)),
                 pl.BlockSpec((8, n_cp), lambda i, tl: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, k + 2, sel_tile),
