@@ -61,11 +61,16 @@ _SIGN = -2147483648     # 0x80000000 as a Python int
 
 
 def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
+    # TRANSPOSED layout: rays ride the 128-lane minor axis everywhere —
+    # F (16, tile), G (4C, 16), out (OUT_COLS, tile) — so blocks are
+    # lane-aligned and the candidate min reduces over sublanes (the
+    # lane-crossing variant measured ~10% of whole-frame time; see
+    # docs/PERF_NOTES.md and the select kernel's identical fix).
     K = K_PER_STEP
     G_refs = refs[:K]
     out_ref, worst_ref = refs[K], refs[K + 1]
-    C = G_refs[0].shape[2] // 4
-    tile = F_ref.shape[1]
+    C = G_refs[0].shape[1] // 4
+    tile = F_ref.shape[2]
     i = pl.program_id(0)
 
     packed = items_ref[i * K]
@@ -77,14 +82,14 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
     def _init():
         # Packed miss state: score = tmax_eff bits (low mantissa noise is
         # irrelevant: any real hit must beat it), slot = -1.
-        z = jnp.zeros((tile, OUT_COLS - 2), jnp.float32)
-        t0 = jax.lax.bitcast_convert_type(F_ref[0, :, 11], jnp.int32)
+        z = jnp.zeros((OUT_COLS - 2, tile), jnp.float32)
+        t0 = jax.lax.bitcast_convert_type(F_ref[0, 11], jnp.int32)
         out_ref[0] = jnp.concatenate([
-            F_ref[0, :, 11][:, None],
+            F_ref[0, 11][None, :],
             jax.lax.bitcast_convert_type(
-                jnp.full((tile,), -1, jnp.int32), jnp.float32)[:, None],
+                jnp.full((tile,), -1, jnp.int32), jnp.float32)[None, :],
             z,
-        ], axis=1)
+        ], axis=0)
         worst_ref[0] = jnp.max(jnp.maximum(t0, 0))
 
     # Front-to-back early-out (positive-float bits order like the floats).
@@ -92,20 +97,20 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
 
     @pl.when(live & useful)
     def _step():
-        Fm = F_ref[0]                               # (tile, 16)
+        Fm = F_ref[0]                               # (16, tile)
         cur = out_ref[0]
-        tmin = Fm[:, 10][:, None]
+        tmin = Fm[10][None, :]
 
-        best_i = jax.lax.bitcast_convert_type(cur[:, 0], jnp.int32)
-        best_slot = jax.lax.bitcast_convert_type(cur[:, 1], jnp.int32)
+        best_i = jax.lax.bitcast_convert_type(cur[0], jnp.int32)
+        best_slot = jax.lax.bitcast_convert_type(cur[1], jnp.int32)
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, C), 1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (C, tile), 0)
         for k in range(K):
-            S = jax.lax.dot(Fm, G_refs[k][0], precision=precision)
-            det = S[:, 0 * C:1 * C]
-            u_n = S[:, 1 * C:2 * C]
-            v_n = S[:, 2 * C:3 * C]
-            t_n = S[:, 3 * C:4 * C]
+            S = jax.lax.dot(G_refs[k][0], Fm, precision=precision)
+            det = S[0 * C:1 * C]
+            u_n = S[1 * C:2 * C]
+            v_n = S[2 * C:3 * C]
+            t_n = S[3 * C:4 * C]
 
             det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
             u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
@@ -119,7 +124,7 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             # ad > 0 is implied: if ad == 0 then ts > ad*tmin and
             # ts < ad*best cannot both hold (tmin >= 0 framework-wide).
             valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
-                     & (ts > ad * tmin) & (ts < ad * best_f[:, None]))
+                     & (ts > ad * tmin) & (ts < ad * best_f[None, :]))
             score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
                               3e38)
             # Pack the candidate column into the score's low mantissa bits
@@ -127,7 +132,7 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             sp = ((jax.lax.bitcast_convert_type(score, jnp.int32)
                    | ((1 << _COL_BITS) - 1)) ^ (((1 << _COL_BITS) - 1))
                   | col_ids)
-            m = jnp.min(sp, axis=1)
+            m = jnp.min(sp, axis=0)
             better = m < best_i
             cluster = items_ref[i * K + k] & 0xFFFF
             best_slot = jnp.where(
@@ -136,10 +141,10 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             best_i = jnp.where(better, m, best_i)
 
         out_ref[0] = jnp.concatenate([
-            jax.lax.bitcast_convert_type(best_i, jnp.float32)[:, None],
-            jax.lax.bitcast_convert_type(best_slot, jnp.float32)[:, None],
-            cur[:, 2:],
-        ], axis=1)
+            jax.lax.bitcast_convert_type(best_i, jnp.float32)[None, :],
+            jax.lax.bitcast_convert_type(best_slot, jnp.float32)[None, :],
+            cur[2:],
+        ], axis=0)
         worst_ref[0] = jnp.max(best_i)
 
 
@@ -216,8 +221,8 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
     K = K_PER_STEP
     G_refs = refs[:K]
     out_ref, done_ref = refs[K], refs[K + 1]
-    C = G_refs[0].shape[2] // 4
-    tile = F_ref.shape[1]
+    C = G_refs[0].shape[1] // 4
+    tile = F_ref.shape[2]
     i = pl.program_id(0)
 
     packed = items_ref[i * K]
@@ -227,21 +232,21 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
 
     @pl.when(first)
     def _init():
-        out_ref[0] = jnp.zeros((tile, OUT_COLS), jnp.float32)
+        out_ref[0] = jnp.zeros((OUT_COLS, tile), jnp.float32)
         done_ref[0] = 0
 
     @pl.when(live & (done_ref[0] == 0))
     def _step():
-        Fm = F_ref[0]                               # (tile, 16)
-        tmin = Fm[:, 10][:, None]
-        tmax = Fm[:, 11][:, None]
-        occ = out_ref[0][:, 0] > 0
+        Fm = F_ref[0]                               # (16, tile)
+        tmin = Fm[10][None, :]
+        tmax = Fm[11][None, :]
+        occ = out_ref[0][0] > 0
         for k in range(K):
-            S = jax.lax.dot(Fm, G_refs[k][0], precision=precision)
-            det = S[:, 0 * C:1 * C]
-            u_n = S[:, 1 * C:2 * C]
-            v_n = S[:, 2 * C:3 * C]
-            t_n = S[:, 3 * C:4 * C]
+            S = jax.lax.dot(G_refs[k][0], Fm, precision=precision)
+            det = S[0 * C:1 * C]
+            u_n = S[1 * C:2 * C]
+            v_n = S[2 * C:3 * C]
+            t_n = S[3 * C:4 * C]
             det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
             u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
             v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
@@ -252,10 +257,10 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
                 ^ (det_i & _SIGN), jnp.float32)
             valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                      & (ts > ad * tmin) & (ts <= ad * tmax))
-            occ = occ | jnp.any(valid, axis=1)
+            occ = occ | jnp.any(valid, axis=0)
         out_ref[0] = jnp.concatenate(
-            [occ.astype(jnp.float32)[:, None],
-             jnp.zeros((tile, OUT_COLS - 1), jnp.float32)], axis=1)
+            [occ.astype(jnp.float32)[None, :],
+             jnp.zeros((OUT_COLS - 1, tile), jnp.float32)], axis=0)
         done_ref[0] = jnp.all(occ).astype(jnp.int32)
 
 
@@ -265,7 +270,7 @@ def _make_occl_call(cap, T, tile, C, precision, interpret):
 
     def g_spec(k):
         return pl.BlockSpec(
-            (1, RAY_FEATURES, 4 * C),
+            (1, 4 * C, RAY_FEATURES),
             lambda i, items, entries, n, k=k: (items[i * K + k] & 0xFFFF,
                                                0, 0))
 
@@ -273,12 +278,12 @@ def _make_occl_call(cap, T, tile, C, precision, interpret):
         num_scalar_prefetch=3,
         grid=(cap // K,),
         in_specs=[
-            pl.BlockSpec((1, tile, RAY_FEATURES),
+            pl.BlockSpec((1, RAY_FEATURES, tile),
                          lambda i, items, entries, n: (items[i * K] >> 16,
                                                        0, 0)),
         ] + [g_spec(k) for k in range(K)],
         out_specs=pl.BlockSpec(
-            (1, tile, OUT_COLS),
+            (1, OUT_COLS, tile),
             lambda i, items, entries, n: (items[i * K] >> 16, 0, 0)),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
@@ -286,7 +291,7 @@ def _make_occl_call(cap, T, tile, C, precision, interpret):
     def call(items, entries, n_items, F, G3):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((T, tile, OUT_COLS), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, OUT_COLS, tile), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
         )(items[:cap], entries[:cap], n_items[None], F, *([G3] * K))
@@ -326,15 +331,15 @@ def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
         cs, o, inv_d, tmin, tmax_eff, T, tile)
 
     F = _ray_features(o, d)
-    F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff).reshape(T, tile,
-                                                              RAY_FEATURES)
-    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
+         .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
     calls = [_make_occl_call(T * b, T, tile, C, prec, interpret)
              for b in CAP_BUCKETS]
     branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
-    return out[:, :, 0].reshape(R) > 0
+    return out[:, 0, :].reshape(R) > 0
 
 
 def _make_call(cap, T, tile, C, precision, interpret):
@@ -343,7 +348,7 @@ def _make_call(cap, T, tile, C, precision, interpret):
 
     def g_spec(k):
         return pl.BlockSpec(
-            (1, RAY_FEATURES, 4 * C),
+            (1, 4 * C, RAY_FEATURES),
             lambda i, items, entries, n, k=k: (items[i * K + k] & 0xFFFF,
                                                0, 0))
 
@@ -351,12 +356,12 @@ def _make_call(cap, T, tile, C, precision, interpret):
         num_scalar_prefetch=3,
         grid=(cap // K,),
         in_specs=[
-            pl.BlockSpec((1, tile, RAY_FEATURES),
+            pl.BlockSpec((1, RAY_FEATURES, tile),
                          lambda i, items, entries, n: (items[i * K] >> 16,
                                                        0, 0)),
         ] + [g_spec(k) for k in range(K)],
         out_specs=pl.BlockSpec(
-            (1, tile, OUT_COLS),
+            (1, OUT_COLS, tile),
             lambda i, items, entries, n: (items[i * K] >> 16, 0, 0)),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
@@ -364,7 +369,7 @@ def _make_call(cap, T, tile, C, precision, interpret):
     def call(items, entries, n_items, F, G3):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((T, tile, OUT_COLS), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, OUT_COLS, tile), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
         )(items[:cap], entries[:cap], n_items[None], F, *([G3] * K))
@@ -404,16 +409,16 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
 
     # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)
-    F = F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff).reshape(T, tile,
-                                                              RAY_FEATURES)
-    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
+         .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
     calls = [_make_call(T * b, T, tile, C, prec, interpret)
              for b in CAP_BUCKETS]
     branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
 
-    slot = jax.lax.bitcast_convert_type(out[:, :, 1], jnp.int32).reshape(R)
+    slot = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32).reshape(R)
     hit = slot >= 0
     slot_safe = jnp.where(hit, slot, 0)
 

@@ -76,8 +76,11 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
     gathered F row's unused column 12 (a denormal float; the matching G
     rows are zero, so it contributes nothing to the matmul) — a separate
     int input block would violate the TPU (8, 128) block-shape rule."""
-    C = G_ref.shape[2] // 4
-    sp = F_ref.shape[1]
+    # TRANSPOSED layout: pairs on the 128-lane minor axis (F (16, sp),
+    # G (4C, 16), out (OUT_COLS, sp)) — lane-aligned blocks, sublane-axis
+    # candidate min (see the select kernel's identical fix).
+    C = G_ref.shape[1] // 4
+    sp = F_ref.shape[2]
     i = pl.program_id(0)
 
     packed_item = items_ref[i]
@@ -89,22 +92,22 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
     def _init():
         # Host-computed float with the _MISS_BITS pattern (Mosaic cannot
         # bitcast scalars in-kernel).
-        out_ref[0] = jnp.full((sp, OUT_COLS), _MISS_F32, jnp.float32)
+        out_ref[0] = jnp.full((OUT_COLS, sp), _MISS_F32, jnp.float32)
 
     @pl.when(live)
     def _step():
-        Fm = F_ref[0]                                   # (sp, 16)
+        Fm = F_ref[0]                                   # (16, sp)
         cluster = packed_item & 0xFFFF
-        lanes = jax.lax.bitcast_convert_type(Fm[:, 12], jnp.int32)
+        lanes = jax.lax.bitcast_convert_type(Fm[12], jnp.int32)
         mask = (lanes & _CL_MASK) == cluster
         rank = jax.lax.shift_right_logical(lanes, _RANK_SHIFT)
 
-        tmin = Fm[:, 10][:, None]
-        S = jax.lax.dot(Fm, G_ref[0], precision=precision)
-        det = S[:, 0 * C:1 * C]
-        u_n = S[:, 1 * C:2 * C]
-        v_n = S[:, 2 * C:3 * C]
-        t_n = S[:, 3 * C:4 * C]
+        tmin = Fm[10][None, :]
+        S = jax.lax.dot(G_ref[0], Fm, precision=precision)
+        det = S[0 * C:1 * C]
+        u_n = S[1 * C:2 * C]
+        v_n = S[2 * C:3 * C]
+        t_n = S[3 * C:4 * C]
         det_i = jax.lax.bitcast_convert_type(det, jnp.int32)
         u_i = jax.lax.bitcast_convert_type(u_n, jnp.int32)
         v_i = jax.lax.bitcast_convert_type(v_n, jnp.int32)
@@ -113,7 +116,7 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
         ts = jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(t_n, jnp.int32)
             ^ (det_i & _SIGN), jnp.float32)
-        tmax = Fm[:, 11][:, None]
+        tmax = Fm[11][None, :]
         # ad > 0 implied by the strict t-range tests (tmin >= 0).
         valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                  & (ts > ad * tmin) & (ts < ad * tmax))
@@ -126,18 +129,18 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
         # (col_bits + 3 bits; rel. error ~2^-13 — only reorders candidates
         # closer than that, and the winner is refined exactly afterwards).
         low = (1 << (col_bits + 3)) - 1
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (sp, C), 1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (C, sp), 0)
         sp_bits = (((jax.lax.bitcast_convert_type(score, jnp.int32) | low)
                     ^ low)
-                   | (rank[:, None] << col_bits) | col_ids)
-        m = jnp.min(sp_bits, axis=1)                     # (sp,)
+                   | (rank[None, :] << col_bits) | col_ids)
+        m = jnp.min(sp_bits, axis=0)                     # (sp,)
 
-        cur = jax.lax.bitcast_convert_type(out_ref[0][:, 0], jnp.int32)
+        cur = jax.lax.bitcast_convert_type(out_ref[0][0], jnp.int32)
         new = jnp.where(mask, jnp.minimum(m, cur), cur)
         out_ref[0] = jnp.concatenate([
-            jax.lax.bitcast_convert_type(new, jnp.float32)[:, None],
-            out_ref[0][:, 1:],
-        ], axis=1)
+            jax.lax.bitcast_convert_type(new, jnp.float32)[None, :],
+            out_ref[0][1:],
+        ], axis=0)
 
 
 def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
@@ -146,20 +149,20 @@ def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
         num_scalar_prefetch=2,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, sp, RAY_FEATURES),
+            pl.BlockSpec((1, RAY_FEATURES, sp),
                          lambda i, items, n: (items[i] >> 16, 0, 0)),
-            pl.BlockSpec((1, RAY_FEATURES, 4 * C),
+            pl.BlockSpec((1, 4 * C, RAY_FEATURES),
                          lambda i, items, n: (items[i] & 0xFFFF, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, sp, OUT_COLS),
+            (1, OUT_COLS, sp),
             lambda i, items, n: (items[i] >> 16, 0, 0)),
     )
 
     def call(items, n_items, Fp, G3):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((B, sp, OUT_COLS), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, OUT_COLS, sp), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
         )(items[:n_steps], n_items[None], Fp, G3)
@@ -346,7 +349,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
             cands.add(m)
     pair_buckets = sorted(cands) + [cap]
 
-    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)
+    G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, R), 0)
     # Pack (ray, rank) into one sort payload: 2-operand sorts are ~1.5x
     # cheaper than 3-operand at lattice scale (docs/PERF_NOTES.md).
@@ -387,7 +390,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
             # Lane words ride in F column 12 as raw bits (_kernel doc).
             Fp = Fp.at[:, 12].set(
                 jax.lax.bitcast_convert_type(lanes, jnp.float32))
-            Fp = Fp.reshape(Bp, SP, RAY_FEATURES)
+            Fp = Fp.reshape(Bp, SP, RAY_FEATURES).transpose(0, 2, 1)
 
             # Work items: one per cluster run per block.
             pos = jnp.arange(mp, dtype=jnp.int32)
@@ -406,7 +409,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
                       for b in item_buckets[:-1])
             out = jax.lax.switch(bri, calls, items, n_items, Fp, G3)
 
-            packed = jax.lax.bitcast_convert_type(out[:, :, 0],
+            packed = jax.lax.bitcast_convert_type(out[:, 0, :],
                                                   jnp.int32).reshape(mp)
             scatter_ray = jnp.where(cl_s < _DEAD_CLUSTER, ray_s, R)
             best_p = jnp.full((R,), jnp.int32(_MISS_BITS))
