@@ -57,7 +57,7 @@ def main():
     cs_size = int(os.environ.get("BENCH_CS", 128))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     only = os.environ.get("BENCH_ONLY")  # e.g. "2" or "1,3"
-    configs = set((only or "1,2,3,4,5").split(","))
+    configs = set((only or "1,2,3,4,5,6").split(","))
 
     def ctx(**kw):
         return racc.create_context(racc.Configuration(
@@ -84,6 +84,13 @@ def main():
                                  shadows=True, primary_only=True)
         line("whitted_primary_shadow_mrays_per_s", *run_config(r, frames))
 
+    if "6" in configs:
+        # Config 6: Whitted full ray trees, depth 8 (main.cpp:346 forces
+        # maxDepth=8 for the Whitted demo) on the frame-pooled tree loop.
+        sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 8})
+        r = racc.WhittedRenderer(ctx(), cam_of(sd), sd, tpu_scene=tpu_scene)
+        line("whitted_depth8_mrays_per_s", *run_config(r, max(frames // 2, 1)))
+
     if "3" in configs:
         # Config 3: full BSDF, 8 bounces, regrouping on.
         r = pt(8)
@@ -97,7 +104,7 @@ def main():
         line("pt_stratified_mrays_per_s", m, ms, rays, spp_target=256)
 
     if "5" in configs:
-        # Config 5: multi-chip tile-parallel smoke on the virtual CPU mesh
+        # Config 5a: multi-chip tile-parallel smoke on the virtual CPU mesh
         # (one real chip here; the driver separately gates dryrun_multichip).
         t0 = time.perf_counter()
         proc = subprocess.run([sys.executable, "__graft_entry__.py"],
@@ -105,12 +112,25 @@ def main():
                               or ".", capture_output=True, text=True,
                               timeout=600)
         ok = proc.returncode == 0 and "OK" in proc.stdout
+        mesh_mrays = 0.0
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("MULTICHIP_MRAYS="):
+                mesh_mrays = float(ln.split("=", 1)[1])
         print(json.dumps({
             "metric": "multichip_cpu_mesh_smoke",
             "value": 1 if ok else 0,
             "unit": "ok",
+            "cpu_mesh_mrays_per_s": round(mesh_mrays, 3),
             "seconds": round(time.perf_counter() - t0, 1),
         }), flush=True)
+
+        # Config 5b: the SAME shard_map frame path on real hardware with a
+        # 1-chip mesh — validates the production multi-chip layout
+        # (shard_map + psum counters) end to end on the TPU.
+        r = pt(2, mesh_shape=(1,))
+        m, ms, rays = run_config(r, max(frames // 4, 1))
+        line("multichip_mesh1_tpu_mrays_per_s", m, ms, rays,
+             mesh_shape=[1])
 
     if "2" in configs:
         # Config 2 (HEADLINE, printed last): PT, 2 bounces, 1 spp/frame.

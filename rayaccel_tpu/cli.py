@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
-    p.add_argument("--wave-size", type=int, default=128 * 128)
+    p.add_argument("--wave-size", type=int, default=128 * 128 * 4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="out.png", help=".png or .pfm output")
     p.add_argument("--preview-every", type=int, default=0,

@@ -47,7 +47,7 @@ class Configuration:
       keep the VPU's 8x128 lanes and the HBM pipeline occupied.
     """
 
-    backend: str = "mxu"                    # "mxu" | "xla" | "pallas"
+    backend: str = "pallas"                 # "pallas" | "mxu" | "xla" | "sparse"
     hybrid_tracing: bool = True
     max_rays_in_flight: int = 128 * 128 * 16
     trace_block: int = 1024
@@ -91,7 +91,12 @@ class ContextInfo:
     backend: str
 
 
-def default_configuration(backend: str = "xla") -> Configuration:
+def default_configuration(backend: str = "pallas") -> Configuration:
     """Tuned defaults, analog of racc::defaultConfiguration
-    (reference RayAccelerator.cpp:429-446)."""
-    return Configuration(backend=backend)
+    (reference RayAccelerator.cpp:429-446): the benched production
+    config — Pallas dense work-queue kernel for coherent primaries with
+    hybrid routing of bounce waves onto the sparse pair engine, 65k-lane
+    waves, 1024-ray trace tiles (docs/PERF_NOTES.md measured matrix).
+    The CLI (cli.py:select_backend) and ``Configuration()`` use the same
+    default, so the quick-start path IS the fast path."""
+    return Configuration(backend=backend, wave_size=128 * 128 * 4)

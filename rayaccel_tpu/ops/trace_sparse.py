@@ -179,22 +179,37 @@ def _select_kernel(tl_ref, F8_ref, bb_ref, out_ref, *, k, id_bits):
     one i32 word per candidate, extract the k nearest by repeated packed
     min. Row k carries the SPILL entry — the (k+1)-th nearest packed
     entry (0x7FFFFFFF if none) — which drives the exact multipass
-    restart; row k+1 carries each ray's total overlap count. The
+    restart; row k+1 carries each ray's remaining-overlap count. The
     (R, N_c) entry matrix never exists in HBM — selection was the sparse
     engine's dominant XLA cost.
+
+    Restart progress guarantee: row 8 of the ray block carries the
+    ray's previous spill word (INT_MIN on the first pass); candidates
+    with a packed word strictly below it are EXCLUDED. Since selection
+    within a window is total-ordered by the packed (entry | id) word,
+    every candidate below the previous spill was already selected and
+    tested by an earlier pass — so a restart always advances past >= k
+    fresh candidates even when many clusters share an identical entry
+    distance at the window start (overlapping AABBs spanning tlo),
+    which would otherwise re-select the same set until max_passes.
 
     Everything lives TRANSPOSED — rays on the 128-lane minor axis,
     clusters on sublanes — so the ray-feature block is lane-aligned and
     the k min-extractions reduce over the sublane axis instead of
-    across lanes."""
-    rb = F8_ref[0]                                   # (8, tile)
-    n_cp = bb_ref.shape[1]
+    across lanes. The cluster boxes arrive as a (n_cp, 128) block
+    (coords in lanes 0-5): slab broadcasts then read sublane vectors
+    natively — the previous (8, n_cp) layout paid a lane->sublane
+    transpose of every coordinate row per grid step (the same
+    misalignment class the round-2 transposes fixed on the ray side)."""
+    rb = F8_ref[0]                                   # (16, tile)
+    n_cp = bb_ref.shape[0]
     tile = rb.shape[1]
+    prev = jax.lax.bitcast_convert_type(rb[8], jnp.int32)[None, :]
     t0 = jnp.broadcast_to(rb[6][None, :], (n_cp, tile))
     t1 = jnp.broadcast_to(rb[7][None, :], (n_cp, tile))
     for a in range(3):
-        tn = (bb_ref[a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
-        tf = (bb_ref[3 + a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
+        tn = (bb_ref[:, a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
+        tf = (bb_ref[:, 3 + a][:, None] - rb[a][None, :]) * rb[3 + a][None, :]
         t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
         t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
     E = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), jnp.inf)
@@ -205,6 +220,8 @@ def _select_kernel(tl_ref, F8_ref, bb_ref, out_ref, *, k, id_bits):
     # cluster id rides in the low mantissa (selection-order noise only —
     # every selected pair is still tested against the exact t range).
     Ep = ((jax.lax.bitcast_convert_type(E, jnp.int32) | low) ^ low) | iota
+    # Drop candidates already consumed by earlier passes (see docstring).
+    Ep = jnp.where(Ep >= prev, Ep, jnp.int32(0x7FFFFFFF))
     cnt = jnp.sum((Ep < _INF_PACK).astype(jnp.int32), axis=0)
 
     rows = []
@@ -217,21 +234,25 @@ def _select_kernel(tl_ref, F8_ref, bb_ref, out_ref, *, k, id_bits):
     out_ref[0] = jnp.concatenate(rows, axis=0)       # (k+2, tile)
 
 
-def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
+def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret,
+                           prev_packed=None):
     """Run the fused select kernel over the wave. Returns
     (lat_valid (k, R) bool, lat_id (k, R) i32 nearest-first,
     spill (R,) i32 packed (k+1)-th nearest entry, cnt (R,) i32 overlap
-    count within the [tmin, tmax] window)."""
+    count within the [tmin, tmax] window). ``prev_packed`` (R,) i32 is
+    the per-ray previous spill word for restart passes (candidates
+    strictly below it are excluded — already tested)."""
     R = o[0].shape[0]
     n_c = cs.n_clusters
     n_cp = -(-n_c // 128) * 128
     id_bits = max((n_cp - 1).bit_length(), 1)
 
-    # (8, n_cp): bbmin rows 0-2, bbmax rows 3-5; padding clusters are the
-    # degenerate far point 3e37 (always t0 > t1 => culled).
-    bb = jnp.full((8, n_cp), 3e37, jnp.float32)
-    bb = bb.at[0:3, :n_c].set(cs.cl_bbmin.T)
-    bb = bb.at[3:6, :n_c].set(cs.cl_bbmax.T)
+    # (n_cp, 128): bbmin lanes 0-2, bbmax lanes 3-5 (lane-aligned block;
+    # clusters ride sublanes, see _select_kernel); padding clusters are
+    # the degenerate far point 3e37 (always t0 > t1 => culled).
+    bb = jnp.full((n_cp, 128), 3e37, jnp.float32)
+    bb = bb.at[:n_c, 0:3].set(cs.cl_bbmin)
+    bb = bb.at[:n_c, 3:6].set(cs.cl_bbmax)
 
     # Ray tile sized to keep the (tile, n_cp) entry block in VMEM.
     # Measured dead ends (docs/ROUND3_PLAN.md): the kernel's ~30ms at
@@ -244,9 +265,16 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
         assert sel_tile >= 8, f"wave size {R} has no usable select tile"
     T = R // sel_tile
 
-    # (T, 8, sel_tile): rays ride the lane-aligned minor axis.
+    # (T, 16, sel_tile): rays ride the lane-aligned minor axis. Row 8 is
+    # the previous-spill exclusion word (INT_MIN = nothing excluded);
+    # rows 9-15 pad the sublane dim to a whole (8, 128) tile.
+    if prev_packed is None:
+        prev_packed = jnp.full((R,), -0x80000000, jnp.int32)
+    prev_f = jax.lax.bitcast_convert_type(prev_packed, jnp.float32)
+    zero = jnp.zeros((R,), jnp.float32)
     F8 = jnp.stack([o[0], o[1], o[2], inv_d[0], inv_d[1], inv_d[2],
-                    tmin, tmax_eff], axis=0).reshape(8, T, sel_tile)
+                    tmin, tmax_eff, prev_f, zero, zero, zero, zero, zero,
+                    zero, zero], axis=0).reshape(16, T, sel_tile)
     F8 = F8.transpose(1, 0, 2)
 
     # Dead-tile skip: the slab+extract body is the sparse engine's
@@ -261,7 +289,13 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
     tl_ids = jax.lax.sort(
         jnp.where(tile_live, jnp.arange(T, dtype=jnp.int32),
                   jnp.int32(0x7FFFFFFF)))
-    tl_ids = jnp.minimum(tl_ids, T - 1)   # pad steps re-run a live tile
+    # Pad steps re-run the FIRST live tile (id repeat => idempotent
+    # rewrite of the same output block). tl_ids[0] is the smallest live
+    # id; if no tile is live the grid still needs a valid block id, so
+    # fall back to T-1 — its never-written output block is garbage, but
+    # every consumer below is masked by lane_live/lat_valid.
+    tl_ids = jnp.where(tl_ids == jnp.int32(0x7FFFFFFF),
+                       jnp.minimum(tl_ids[0], T - 1), tl_ids)
 
     kern = partial(_select_kernel, k=k, id_bits=id_bits)
 
@@ -270,8 +304,8 @@ def _select_nearest_pallas(cs, o, inv_d, tmin, tmax_eff, k, interpret):
             num_scalar_prefetch=1,
             grid=(steps,),
             in_specs=[
-                pl.BlockSpec((1, 8, sel_tile), lambda i, tl: (tl[i], 0, 0)),
-                pl.BlockSpec((8, n_cp), lambda i, tl: (0, 0)),
+                pl.BlockSpec((1, 16, sel_tile), lambda i, tl: (tl[i], 0, 0)),
+                pl.BlockSpec((n_cp, 128), lambda i, tl: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, k + 2, sel_tile),
                                    lambda i, tl: (tl[i], 0, 0)),
@@ -321,14 +355,16 @@ def _nearest_k(entry, k):
 
 
 def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
-                 pair_budget, prec, interpret):
+                 pair_budget, prec, interpret, prev_packed=None):
     """One spill-window pass at static width R = len(tlo).
 
     Fused cull+select lattice, cluster-sorted pair pipeline dispatched to
     the smallest capacity bucket covering the ACTUAL pair count, packed
     per-ray min merge. Returns (best_p (R,) i32 packed, slot_p (R,) i32,
     spill (R,) i32 packed, trunc) — ``spill`` is the (K+1)-th nearest
-    entry used by the caller to restart unresolved rays."""
+    entry used by the caller to restart unresolved rays; ``prev_packed``
+    excludes candidates below the previous pass's spill word (progress
+    guarantee, see _select_kernel)."""
     R = tlo.shape[0]
     C = cs.cluster_size
     n_c = cs.n_clusters
@@ -358,7 +394,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
         | jnp.arange(K, dtype=jnp.int32)[:, None]).reshape(-1)
 
     lat_valid, lat_id, spill, _cnt = _select_nearest_pallas(
-        cs, o, inv_d, tlo, tmax_p, K, interpret)
+        cs, o, inv_d, tlo, tmax_p, K, interpret, prev_packed=prev_packed)
     total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
 
     keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
@@ -433,14 +469,124 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
 
 @partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
                                    "precision", "interpret", "max_passes"))
+def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
+                           active: jnp.ndarray | None = None,
+                           k_pairs: int = 4, pair_budget: int = 3,
+                           sp_tile: int = 1024,
+                           precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
+                           interpret: bool | None = None,
+                           max_passes: int = 4) -> jnp.ndarray:
+    """Any-hit occlusion query on the pair-centric sparse engine: True
+    where some triangle blocks the ray in [tmin, tmax]. The engine that
+    serves scattered rays (bounce-shade shadows) previously had no
+    any-hit variant, so those shadows paid the dense tile-union cost
+    (reference early-exit semantics apply to every ray class,
+    Kernels.h:190-210).
+
+    Reuses the spill-exact multipass pass: a ray is occluded as soon as
+    any tested pair hits; rays with no hit among the nearest-K clusters
+    and a valid spill restart with the window advanced (no t-shrink —
+    occlusion never narrows tmax). Rays still unresolved at
+    ``max_passes`` are conservatively reported unoccluded."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    R = rays.o.shape[0]
+    n_c = cs.n_clusters
+    K = min(k_pairs, n_c)
+    SP = sp_tile
+    n_cp = -(-n_c // 128) * 128
+    id_bits = max((n_cp - 1).bit_length(), 1)
+    spill_clear = ~((1 << id_bits) - 1)
+
+    o = tuple(rays.o[:, a] for a in range(3))
+    inv3 = safe_inv_dir(rays.d)
+    d = tuple(rays.d[:, a] for a in range(3))
+    inv_d = tuple(inv3[:, a] for a in range(3))
+    tmin = rays.tmin
+    tmax0 = rays.tmax if active is None else jnp.where(active, rays.tmax,
+                                                       -1.0)
+
+    def decode_spill(s):
+        return jax.lax.bitcast_convert_type(s & spill_clear, jnp.float32)
+
+    best, _slot, spill, _tr = _sparse_pass(
+        cs, o, d, inv_d, tmin, tmax0, K, SP, pair_budget, prec, interpret)
+    occluded = best < _MISS_BITS
+    unresolved = ((tmax0 > 0) & ~occluded & (spill < _INF_PACK)
+                  & (decode_spill(spill) < tmax0))
+    tlo = jnp.where(unresolved, decode_spill(spill), tmin)
+
+    # Restart passes on the compacted unresolved set. Shadow queries can
+    # leave a larger unresolved tail than closest-hit (no tmax shrink),
+    # so the restart width is R/8.
+    Rs = min(-(-R // SP) * SP, max(SP, (-(-R // 8 // SP)) * SP))
+    iota_r = jnp.arange(R, dtype=jnp.int32)
+
+    def sub_body(st):
+        uidx = jax.lax.sort(
+            jnp.where(st["unresolved"], iota_r, jnp.int32(0x7FFFFFFF)))
+        uidx = uidx[:Rs] if Rs <= R else jnp.pad(
+            uidx, (0, Rs - R), constant_values=0x7FFFFFFF)
+        valid = uidx < 0x7FFFFFFF
+        idx = jnp.where(valid, uidx, 0)
+
+        o_s = jnp.take(rays.o, idx, axis=0)
+        d_s = jnp.take(rays.d, idx, axis=0)
+        inv_s = safe_inv_dir(d_s)
+        tlo_s = jnp.take(st["tlo"], idx)
+        prev_s = jnp.take(st["prev"], idx)
+        tmax_s = jnp.where(valid, jnp.take(tmax0, idx), -1.0)
+
+        bp, _sp, spill_s, _tr = _sparse_pass(
+            cs, tuple(o_s[:, a] for a in range(3)),
+            tuple(d_s[:, a] for a in range(3)),
+            tuple(inv_s[:, a] for a in range(3)),
+            tlo_s, tmax_s, K, SP, K, prec, interpret,
+            prev_packed=prev_s)
+
+        occ_s = (bp < _MISS_BITS) | jnp.take(st["occluded"], idx)
+        spill_es = decode_spill(spill_s)
+        unres_s = (valid & ~occ_s & (spill_s < _INF_PACK)
+                   & (spill_es < tmax_s))
+        sidx = jnp.where(valid, idx, R)
+        return dict(
+            occluded=st["occluded"].at[sidx].set(occ_s, mode="drop"),
+            tlo=st["tlo"].at[sidx].set(
+                jnp.where(unres_s, spill_es, tlo_s), mode="drop"),
+            prev=st["prev"].at[sidx].set(spill_s, mode="drop"),
+            unresolved=st["unresolved"].at[sidx].set(unres_s, mode="drop"),
+            n_pass=st["n_pass"] + 1,
+        )
+
+    out = jax.lax.while_loop(
+        lambda st: jnp.any(st["unresolved"]) & (st["n_pass"] < max_passes),
+        sub_body,
+        dict(occluded=occluded, tlo=tlo, prev=spill, unresolved=unresolved,
+             n_pass=jnp.int32(1)))
+    return out["occluded"]
+
+
+def _env_int(name):
+    v = __import__("os").environ.get(name)
+    return None if v in (None, "", "none") else int(v)
+
+
+@partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
+                                   "precision", "interpret", "max_passes",
+                                   "k_first"))
 def trace_sparse(cs: ClusterScene, rays: Rays,
                  env: Environment | None = None,
                  active: jnp.ndarray | None = None,
-                 k_pairs: int = 4, pair_budget: int = 3,
-                 sp_tile: int = 1024,
+                 k_pairs: int = _env_int("RACC_K_PAIRS") or 4,
+                 pair_budget: int = _env_int("RACC_PAIR_BUDGET") or 3,
+                 sp_tile: int = _env_int("RACC_SP_TILE") or 1024,
                  precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
                  interpret: bool | None = None,
-                 max_passes: int = 4):
+                 max_passes: int = 4,
+                 k_first: int | None = _env_int("RACC_K_FIRST")):
     """Pair-centric trace, spill-exact multipass. Returns (MxuHits,
     overflow).
 
@@ -453,14 +599,26 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     EXACTLY instead of dropping clusters (per-ray overlap on
     battlefield-class scenes: mean 2.1, p99 = 12 — docs/PERF_NOTES.md).
 
-    Pass 1 runs at full width; restart passes run at width R/16 on the
-    COMPACTED unresolved set (a full-width restart measured ~88ms at
-    frame scale for <1k unresolved rays). Passes cap at ``max_passes``;
-    rays still unresolved then are counted in ``overflow``.
+    ``k_first`` (default: = k_pairs) is the RANK-PHASED knob: pass 1
+    tests only the ``k_first`` nearest clusters — front-to-back, the
+    nearest cluster usually contains the winning hit, so k_first=1 cuts
+    the pass-1 pair volume (sort + F-gather + kernel + merge all scale
+    with pairs) roughly in half and leaves the minority of unresolved
+    rays to the compacted restart passes, which test ``k_pairs`` more
+    clusters each with the spill-word exclusion guaranteeing progress.
+
+    Pass 1 runs at full width; restart passes run on the COMPACTED
+    unresolved set at the smallest width bucket (R/16 or R/4) covering
+    it (a full-width restart measured ~88ms at frame scale for <1k
+    unresolved rays). Passes cap at ``max_passes``; rays still
+    unresolved then are counted in ``overflow``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
+    if k_first is None:
+        k_first = k_pairs
+    assert 1 <= k_first <= 8
     # Mosaic supports HIGHEST (fp32) and DEFAULT (one-pass bf16) only.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
@@ -492,19 +650,26 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     def decode_spill(s):
         return jax.lax.bitcast_convert_type(s & spill_clear, jnp.float32)
 
-    # ---- pass 1: full width ----
+    # ---- pass 1: full width, k_first nearest ----
+    K1 = min(k_first, n_c)
     best, slot, spill, trunc = _sparse_pass(
-        cs, o, d, inv_d, tmin, tmax0, K, SP, pair_budget, prec, interpret)
+        cs, o, d, inv_d, tmin, tmax0, K1, SP, pair_budget, prec, interpret)
     spill_e = decode_spill(spill)
     unresolved = ((tmax0 > 0) & (spill < _INF_PACK)
                   & (spill_e < jnp.minimum(decode_t(best), tmax0)))
     tlo = jnp.where(unresolved, spill_e, tmin)
 
-    # ---- restart passes: compacted unresolved set at width R/16 ----
-    Rs = min(-(-R // SP) * SP, max(SP, (-(-R // 16 // SP)) * SP))
+    # ---- restart passes: compacted unresolved set, width-bucketed ----
+    # With k_first < k_pairs the unresolved tail is a sizable fraction
+    # (rank-phasing), so restarts dispatch to the smallest of two width
+    # buckets (R/16, R/4) covering the unresolved count.
+    r_pad = -(-R // SP) * SP
+    width_buckets = sorted({min(r_pad, max(SP, (-(-R // dv // SP)) * SP))
+                            for dv in ((16, 4) if k_first < k_pairs
+                                       else (16,))})
     iota_r = jnp.arange(R, dtype=jnp.int32)
 
-    def sub_body(st):
+    def sub_body(st, Rs):
         uidx = jax.lax.sort(
             jnp.where(st["unresolved"], iota_r, jnp.int32(0x7FFFFFFF)))
         uidx = uidx[:Rs] if Rs <= R else jnp.pad(
@@ -516,6 +681,7 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
         d_s = jnp.take(rays.d, idx, axis=0)
         inv_s = safe_inv_dir(d_s)
         tlo_s = jnp.take(st["tlo"], idx)
+        prev_s = jnp.take(st["prev"], idx)
         best_s = jnp.take(st["best"], idx)
         slot_s = jnp.take(st["slot"], idx)
         tmax_r = jnp.take(tmax0, idx)
@@ -526,7 +692,8 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
             cs, tuple(o_s[:, a] for a in range(3)),
             tuple(d_s[:, a] for a in range(3)),
             tuple(inv_s[:, a] for a in range(3)),
-            tlo_s, tmax_s, K, SP, K, prec, interpret)
+            tlo_s, tmax_s, K, SP, K, prec, interpret,
+            prev_packed=prev_s)
 
         better = bp < best_s
         merged = jnp.minimum(bp, best_s)
@@ -541,16 +708,25 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
             best=st["best"].at[sidx].set(merged, mode="drop"),
             slot=st["slot"].at[sidx].set(slot_m, mode="drop"),
             tlo=st["tlo"].at[sidx].set(tlo_m, mode="drop"),
+            prev=st["prev"].at[sidx].set(spill_s, mode="drop"),
             unresolved=st["unresolved"].at[sidx].set(unres_s, mode="drop"),
             n_pass=st["n_pass"] + 1,
             overflow=st["overflow"] + trunc_s,
         )
 
+    def restart_body(st):
+        if len(width_buckets) == 1:
+            return sub_body(st, width_buckets[0])
+        n_un = jnp.sum(st["unresolved"].astype(jnp.int32))
+        br = sum((n_un > b).astype(jnp.int32) for b in width_buckets[:-1])
+        return jax.lax.switch(
+            br, [partial(sub_body, Rs=w) for w in width_buckets], st)
+
     out = jax.lax.while_loop(
         lambda st: jnp.any(st["unresolved"]) & (st["n_pass"] < max_passes),
-        sub_body,
-        dict(best=best, slot=slot, tlo=tlo, unresolved=unresolved,
-             n_pass=jnp.int32(1), overflow=trunc))
+        restart_body,
+        dict(best=best, slot=slot, tlo=tlo, prev=spill,
+             unresolved=unresolved, n_pass=jnp.int32(1), overflow=trunc))
 
     best = out["best"]
     hit = best < _MISS_BITS

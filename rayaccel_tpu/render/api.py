@@ -21,13 +21,25 @@ def render(context: Context, scene, environment, renderer,
     """Render one progressive frame through ``renderer`` (a TiledRenderer
     subclass). ``scene``/``environment`` override the renderer's current
     bindings when given, mirroring how the reference re-publishes them per
-    frame (RayAccelerator.cpp:741-746)."""
-    if scene is not None:
+    frame (RayAccelerator.cpp:741-746).
+
+    The compiled frame fn closes over the scene/environment arrays, so an
+    override must drop the ``_frame_fn`` cache (render/tiled.py:148) —
+    the next frame rebuilds the closure around the new bindings."""
+    rebind = False
+    if scene is not None and scene is not renderer.scene:
         renderer.scene = scene
-        renderer._wave_fn = None
-    if environment is not None:
+        rebind = True
+    if environment is not None and environment is not renderer.environment:
         renderer.environment = environment
-        renderer._wave_fn = None
+        rebind = True
+    if rebind:
+        if context.mesh is not None:
+            from rayaccel_tpu.parallel.mesh import replicate_scene
+            renderer.scene = replicate_scene(context.mesh, renderer.scene)
+            renderer.environment = replicate_scene(context.mesh,
+                                                   renderer.environment)
+        renderer._frame_fn = None
     if key is None:
         key = jax.random.PRNGKey(renderer.spp)
     return renderer.render_frame(key)

@@ -282,7 +282,7 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
 
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
                                    "stack_depth", "sampler",
-                                   "bounce_backend"))
+                                   "bounce_backend", "min_stage_width"))
 def pt_trace_frame(scene, env: Environment, cam_arrays,
                    xs: jnp.ndarray, ys: jnp.ndarray, alives: jnp.ndarray,
                    key: jax.Array, max_depth: int, backend: str = "mxu",
@@ -290,7 +290,8 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
                    sampler: str = "uniform",
                    spp_index: jnp.ndarray | None = None,
                    sampler_key: jax.Array | None = None,
-                   bounce_backend: str = "sparse"):
+                   bounce_backend: str = "sparse",
+                   min_stage_width: int = 8192):
     """Frame-pooled wavefront: trace a whole frame with ONE bounce loop.
 
     The per-wave structure (pt_trace_wave under a scan) pays every bounce
@@ -316,6 +317,11 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     """
     W, R = xs.shape
     N = W * R
+    # Lane ids ride the reassembly sort as float32 payloads (stage 3);
+    # float32 is exact only below 2^24, so larger pools would silently
+    # scramble the framebuffer. 16.7M lanes/shard covers 4K frames.
+    assert N < (1 << 24), f"frame pool {N} lanes >= 2^24: lane ids lose " \
+                          "precision in the float32 reassembly sort"
 
     # ---- stage 1: primary trace + first shade, wave by wave ----
     def prim_step(carry, inputs):
@@ -395,8 +401,10 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     # width. Lanes left behind are dead; their (lane, miss_d, miss_w)
     # rows are saved as a piece for the final env pass. No scatters
     # anywhere (element-bound, measured ~10x a row gather).
+    # min_stage_width floors the shrink ladder (tests force/disable the
+    # shrink with it; shrink and no-shrink paths must agree bitwise).
     stage_widths = [N]
-    while stage_widths[-1] // 4 >= 8192:
+    while stage_widths[-1] // 4 >= min_stage_width:
         stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
 
     def run_stage(st, width, next_width):

@@ -102,6 +102,118 @@ def whitted_shade(surf, rays: Rays, weight):
     return radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok
 
 
+def _occlusion_query(scene, srays, active, bk, tile, stack_depth):
+    """Any-hit shadow query on the engine matching ``bk``."""
+    if bk == "pallas":
+        from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
+        return trace_occlusion_pallas(scene, srays, active=active, tile=tile)
+    if bk == "sparse":
+        # Scattered bounce-shade shadows stay on the engine built for
+        # scattered rays (any-hit variant) instead of paying the dense
+        # tile-union cost.
+        from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
+        return trace_occlusion_sparse(scene, srays, active=active)
+    if bk == "mxu":
+        from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+        return trace_occlusion_mxu(scene, srays, active=active, tile=tile)
+    from rayaccel_tpu.ops.trace import trace_occlusion_bvh
+    return trace_occlusion_bvh(scene, srays, active=active,
+                               stack_depth=stack_depth)
+
+
+def _whitted_step(scene, s, hits, surf, bk, tile, stack_depth, max_depth,
+                  stack_size, shadows, primary_only):
+    """Post-trace lane-state advance shared by the per-wave and pooled
+    frame paths: env on miss, direct light (+ optional shadow query),
+    reflection/refraction spawn, refraction parking, and terminated-head
+    resurrection (loopHandling, WhittedRenderer.cpp:82-135). Width is
+    whatever ``s`` carries; returns the advanced state dict."""
+    rays, alive, weight = s["rays"], s["alive"], s["weight"]
+    R = rays.o.shape[0]
+    level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
+    traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
+
+    radiance = s["radiance"]
+    # Miss => environment (WhittedRenderer.cpp:586-680); env radiance is
+    # folded into the trace result (Result union contract).
+    miss = alive & (hits.tri == INVALID_TRIANGLE)
+    radiance = radiance + jnp.where(miss[:, None],
+                                    weight * hits.miss_rgb, 0.0)
+
+    # Active hits: direct light + children (hits at depth == max_depth
+    # terminate without contribution, WhittedRenderer.cpp:171-187).
+    active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
+    direct, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
+        surf, rays, weight)
+    if primary_only:
+        # BASELINE config 1: primary + shadow rays only — no
+        # reflection/refraction trees.
+        refl_ok = refl_ok & False
+        refr_ok = refr_ok & False
+    refl_ok = refl_ok & active
+    refr_ok = refr_ok & active
+    if shadows:
+        # Shadow rays toward the directional light (BASELINE config 1:
+        # primary+shadow): direct light is masked by an any-hit
+        # occlusion query from the offset hit point.
+        light = jnp.asarray(LIGHT_DIR, jnp.float32)
+        light = light / jnp.linalg.norm(light)
+        sgn = jnp.where(jnp.sum(surf.ng * light[None, :], axis=-1) >= 0,
+                        1.0, -1.0)
+        spos = surf.pos + surf.ng * (ORIGIN_EPSILON * sgn)[:, None]
+        srays = Rays(o=spos,
+                     d=jnp.broadcast_to(light[None, :], spos.shape) + spos * 0.0,
+                     tmin=SECONDARY_TMIN + spos[:, 0] * 0.0,
+                     tmax=SECONDARY_TMAX + spos[:, 0] * 0.0)
+        occluded = _occlusion_query(scene, srays, active, bk, tile,
+                                    stack_depth)
+        traced = traced + jnp.sum(active.astype(jnp.int32))
+        direct = jnp.where(occluded[:, None], 0.0, direct)
+    radiance = radiance + jnp.where(active[:, None], direct, 0.0)
+
+    # Continuation selection (WhittedRenderer.cpp:535-565): reflection
+    # continues; lone refraction continues; both => park refraction.
+    next_rays = merge_rays(refl_ok, refl, refr)
+    has_next = refl_ok | refr_ok
+    park = refl_ok & refr_ok
+
+    sp = s["sp"]
+    can_park = park & (sp < stack_size)
+    dropped = s["dropped"] + jnp.sum((park & ~can_park).astype(jnp.int32))
+    push_mask = (level == sp[None, :]) & can_park[None, :]
+    entry = jnp.stack([refr.o[:, 0], refr.o[:, 1], refr.o[:, 2],
+                       refr.d[:, 0], refr.d[:, 1], refr.d[:, 2],
+                       (s["depth"] + 1).astype(jnp.float32)])  # (7, R)
+    stk = jnp.where(push_mask[:, None, :], entry[None, :, :], s["stk"])
+    stk_w = jnp.where(push_mask[:, None, :], new_w.T[None, :, :],
+                      s["stk_w"])
+    sp = sp + can_park.astype(jnp.int32)
+
+    # Termination => resurrect a parked ray (loopHandling,
+    # WhittedRenderer.cpp:91-115), else the lane dies.
+    terminated = alive & ~has_next
+    pop = terminated & (sp > 0)
+    sp = sp - pop.astype(jnp.int32)
+    pop_mask = (level == sp[None, :]) & pop[None, :]
+    pe = jnp.sum(jnp.where(pop_mask[:, None, :], stk, 0.0), axis=0)  # (7,R)
+    pw = jnp.sum(jnp.where(pop_mask[:, None, :], stk_w, 0.0), axis=0)
+    popped = Rays(
+        o=pe[0:3].T, d=pe[3:6].T,
+        tmin=jnp.full((R,), SECONDARY_TMIN, jnp.float32),
+        tmax=jnp.full((R,), SECONDARY_TMAX, jnp.float32))
+
+    alive_next = (active & has_next) | pop
+    out_rays = merge_rays(pop, popped, merge_rays(has_next, next_rays, rays))
+    out_w = jnp.where(pop[:, None], pw.T,
+                      jnp.where(active[:, None], new_w, weight))
+    out_depth = jnp.where(pop, pe[6].astype(jnp.int32),
+                          s["depth"] + active.astype(jnp.int32))
+    return dict(rays=out_rays, weight=out_w, depth=out_depth,
+                alive=alive_next, sp=sp, stk=stk, stk_w=stk_w,
+                radiance=radiance, lane=s["lane"], traced=traced,
+                dropped=dropped)
+
+
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
                                    "tile", "stack_depth", "shadows",
                                    "bounce_backend", "primary_only",
@@ -128,7 +240,6 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
     if bounce_backend is None:
         bounce_backend = backend
     rays = generate_pixel_rays(cam_arrays, x, y, key=key)
-    level = jax.lax.broadcasted_iota(jnp.int32, (stack_size, R), 0)
     # Regrouping pays a wide multi-column state move per bounce; with
     # primary_only (BASELINE config 1) no bounce ever follows the first
     # shade, so the move would be pure waste (~8ms/wave measured).
@@ -214,100 +325,17 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         return jnp.any(s["alive"])
 
     def body(s, bk, use_prefix=False):
-        rays, alive, weight = s["rays"], s["alive"], s["weight"]
+        rays, alive = s["rays"], s["alive"]
         if use_prefix:
             hits, surf = traced_prefix(rays, alive, bk)
         else:
             hits, surf = trace_and_surface(rays, alive, bk)
-        traced = s["traced"] + jnp.sum(alive.astype(jnp.int32))
-
-        radiance = s["radiance"]
-        # Miss => environment (WhittedRenderer.cpp:586-680); env radiance is
-        # folded into the trace result (Result union contract).
-        miss = alive & (hits.tri == INVALID_TRIANGLE)
-        radiance = radiance + jnp.where(miss[:, None],
-                                        weight * hits.miss_rgb, 0.0)
-
-        # Active hits: direct light + children (hits at depth == max_depth
-        # terminate without contribution, WhittedRenderer.cpp:171-187).
-        active = alive & (hits.tri >= 0) & (s["depth"] < max_depth)
-        direct, new_w, refl, refl_ok, refr, refr_ok = whitted_shade(
-            surf, rays, weight)
-        if primary_only:
-            # BASELINE config 1: primary + shadow rays only — no
-            # reflection/refraction trees.
-            refl_ok = refl_ok & False
-            refr_ok = refr_ok & False
-        refl_ok = refl_ok & active
-        refr_ok = refr_ok & active
-        if shadows:
-            # Shadow rays toward the directional light (BASELINE config 1:
-            # primary+shadow): direct light is masked by an any-hit
-            # occlusion query from the offset hit point.
-            light = jnp.asarray(LIGHT_DIR, jnp.float32)
-            light = light / jnp.linalg.norm(light)
-            sgn = jnp.where(jnp.sum(surf.ng * light[None, :], axis=-1) >= 0,
-                            1.0, -1.0)
-            spos = surf.pos + surf.ng * (ORIGIN_EPSILON * sgn)[:, None]
-            srays = Rays(o=spos,
-                         d=jnp.broadcast_to(light[None, :], spos.shape) + spos * 0.0,
-                         tmin=SECONDARY_TMIN + spos[:, 0] * 0.0,
-                         tmax=SECONDARY_TMAX + spos[:, 0] * 0.0)
-            if bk == "pallas":
-                from rayaccel_tpu.ops.trace_pallas import (
-                    trace_occlusion_pallas)
-                occluded = trace_occlusion_pallas(scene, srays, active=active,
-                                                  tile=tile)
-            elif bk in ("mxu", "sparse"):
-                from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
-                occluded = trace_occlusion_mxu(scene, srays, active=active,
-                                               tile=tile)
-            else:
-                from rayaccel_tpu.ops.trace import trace_occlusion_bvh
-                occluded = trace_occlusion_bvh(scene, srays, active=active,
-                                               stack_depth=stack_depth)
-            traced = traced + jnp.sum(active.astype(jnp.int32))
-            direct = jnp.where(occluded[:, None], 0.0, direct)
-        radiance = radiance + jnp.where(active[:, None], direct, 0.0)
-
-        # Continuation selection (WhittedRenderer.cpp:535-565): reflection
-        # continues; lone refraction continues; both => park refraction.
-        next_rays = merge_rays(refl_ok, refl, refr)
-        has_next = refl_ok | refr_ok
-        park = refl_ok & refr_ok
-
-        sp = s["sp"]
-        can_park = park & (sp < stack_size)
-        dropped = s["dropped"] + jnp.sum((park & ~can_park).astype(jnp.int32))
-        push_mask = (level == sp[None, :]) & can_park[None, :]
-        entry = jnp.stack([refr.o[:, 0], refr.o[:, 1], refr.o[:, 2],
-                           refr.d[:, 0], refr.d[:, 1], refr.d[:, 2],
-                           (s["depth"] + 1).astype(jnp.float32)])  # (7, R)
-        stk = jnp.where(push_mask[:, None, :], entry[None, :, :], s["stk"])
-        stk_w = jnp.where(push_mask[:, None, :], new_w.T[None, :, :],
-                          s["stk_w"])
-        sp = sp + can_park.astype(jnp.int32)
-
-        # Termination => resurrect a parked ray (loopHandling,
-        # WhittedRenderer.cpp:91-115), else the lane dies.
-        terminated = alive & ~has_next
-        pop = terminated & (sp > 0)
-        sp = sp - pop.astype(jnp.int32)
-        pop_mask = (level == sp[None, :]) & pop[None, :]
-        pe = jnp.sum(jnp.where(pop_mask[:, None, :], stk, 0.0), axis=0)  # (7,R)
-        pw = jnp.sum(jnp.where(pop_mask[:, None, :], stk_w, 0.0), axis=0)
-        popped = Rays(
-            o=pe[0:3].T, d=pe[3:6].T,
-            tmin=jnp.full((R,), SECONDARY_TMIN, jnp.float32),
-            tmax=jnp.full((R,), SECONDARY_TMAX, jnp.float32))
-
-        alive_next = (active & has_next) | pop
-        out_rays = merge_rays(pop, popped, merge_rays(has_next, next_rays, rays))
-        out_w = jnp.where(pop[:, None], pw.T,
-                          jnp.where(active[:, None], new_w, weight))
-        out_depth = jnp.where(pop, pe[6].astype(jnp.int32),
-                              s["depth"] + active.astype(jnp.int32))
-        lane = s["lane"]
+        s = _whitted_step(scene, s, hits, surf, bk, tile, stack_depth,
+                          max_depth, stack_size, shadows, primary_only)
+        out_rays, out_w, out_depth, alive_next = (
+            s["rays"], s["weight"], s["depth"], s["alive"])
+        sp, stk, stk_w, radiance, lane = (s["sp"], s["stk"], s["stk_w"],
+                                          s["radiance"], s["lane"])
 
         if do_regroup:
             # Between-bounce regroup (the PT regroup extended to ray
@@ -328,8 +356,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
 
         return dict(rays=out_rays, weight=out_w, depth=out_depth,
                     alive=alive_next, sp=sp, stk=stk, stk_w=stk_w,
-                    radiance=radiance, lane=lane, traced=traced,
-                    dropped=dropped)
+                    radiance=radiance, lane=lane, traced=s["traced"],
+                    dropped=s["dropped"])
 
     # Peel the primary trace (hybrid routing: dense primaries, sparse
     # secondaries — the reference's hybrid scheduling analog).
@@ -343,6 +371,192 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         from rayaccel_tpu.render.regroup import regroup_state as _rs
         _, (radiance,) = _rs(out["lane"], out["rays"], [radiance])
     return radiance, out["traced"], out["dropped"]
+
+
+@partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
+                                   "tile", "stack_depth", "shadows",
+                                   "bounce_backend", "min_stage_width"))
+def whitted_trace_frame(scene, env: Environment, cam_arrays,
+                        xs: jnp.ndarray, ys: jnp.ndarray,
+                        alives: jnp.ndarray, key: jax.Array,
+                        max_depth: int, stack_size: int = 9,
+                        backend: str = "mxu", tile: int = 512,
+                        stack_depth: int = 48, shadows: bool = False,
+                        bounce_backend: str = "sparse",
+                        min_stage_width: int = 8192):
+    """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
+    bounce loop (the pt_trace_frame pattern applied to the parked-stack
+    state). The reference analog is the frame-global loopData pool sized
+    8*maxRaysInFlight (WhittedRenderer.cpp:47-50) rather than per-tile
+    pools: secondary work from every tile shares one in-flight set, so
+    per-bounce fixed costs (select kernel ramp, pair plumbing, shade
+    width) are paid once per frame-level bounce, not once per wave.
+
+    Stage 1 traces + first-shades the coherent primaries wave by wave on
+    the dense engine; stage 2 pools all surviving tree state — including
+    each lane's parked refraction stack — into frame order and runs the
+    bounce loop on the sparse engine with the staged width shrink (dead
+    lanes leave only (lane, radiance) behind; the pool never permutes).
+
+    Returns (radiance (W, R, 3) in original lane order, traced, dropped).
+    """
+    W, R = xs.shape
+    N = W * R
+    assert N < (1 << 24), "lane ids ride a float32 reassembly sort"
+    S = stack_size
+
+    def trace_and_surface(rays, alive, bk):
+        if bk == "xla":
+            hits = trace_bvh(scene, rays, env=env, active=alive,
+                             stack_depth=stack_depth)
+            surf = interpolate_surface(scene, rays, hits,
+                                       alive & (hits.tri >= 0))
+            return hits, surf
+        if bk == "pallas":
+            from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+            res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
+                                      tile=tile)
+        elif bk == "sparse":
+            from rayaccel_tpu.ops.trace_sparse import trace_sparse
+            res, _ = trace_sparse(scene, rays, env=env, active=alive)
+        else:
+            res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
+        surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
+                                  res.hits)
+        return res.hits, surf
+
+    # ---- stage 1: primary trace + first shade/park, wave by wave ----
+    def prim_step(carry, inputs):
+        traced, dropped, w = carry
+        x, y, alive0 = inputs
+        wkey = jax.random.fold_in(key, w)
+        rays = generate_pixel_rays(cam_arrays, x, y, key=wkey)
+        zf = rays.tmax * 0.0
+        st0 = dict(
+            rays=rays, weight=jnp.ones_like(rays.o), depth=x * 0,
+            alive=alive0, sp=x * 0,
+            stk=jnp.broadcast_to(zf[None, None, :], (S, 7, R)),
+            stk_w=jnp.broadcast_to(zf[None, None, :], (S, 3, R)),
+            radiance=rays.o * 0.0, lane=x * 0,
+            traced=jnp.sum(x) * 0, dropped=jnp.sum(x) * 0,
+        )
+
+        def live(st):
+            hits, surf = trace_and_surface(st["rays"], st["alive"],
+                                           backend)
+            return _whitted_step(scene, st, hits, surf, backend, tile,
+                                 stack_depth, max_depth, S, shadows,
+                                 False)
+
+        st = jax.lax.cond(jnp.any(alive0), live, lambda st: st, st0)
+        out = (st["rays"].o, st["rays"].d, st["weight"], st["depth"],
+               st["alive"], st["sp"], st["stk"], st["stk_w"],
+               st["radiance"])
+        return (traced + st["traced"], dropped + st["dropped"], w + 1), out
+
+    (traced0, dropped0, _), stacked = jax.lax.scan(
+        prim_step, (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        (xs, ys, alives))
+    o_s, d_s, w_s, dep_s, al_s, sp_s, stk_s, stkw_s, rad_s = stacked
+
+    def flat(a):
+        return a.reshape((N,) + a.shape[2:])
+
+    # ---- stage 2: one frame-level bounce loop over the pooled trees ----
+    state = dict(
+        rays=Rays(flat(o_s), flat(d_s),
+                  jnp.full((N,), SECONDARY_TMIN, jnp.float32),
+                  jnp.full((N,), SECONDARY_TMAX, jnp.float32)),
+        weight=flat(w_s), depth=flat(dep_s), alive=flat(al_s),
+        sp=flat(sp_s),
+        stk=stk_s.transpose(1, 2, 0, 3).reshape(S, 7, N),
+        stk_w=stkw_s.transpose(1, 2, 0, 3).reshape(S, 3, N),
+        radiance=flat(rad_s), lane=jnp.arange(N, dtype=jnp.int32),
+        traced=traced0, dropped=dropped0,
+    )
+
+    def bounce_body(st):
+        hits, surf = trace_and_surface(st["rays"], st["alive"],
+                                       bounce_backend)
+        return _whitted_step(scene, st, hits, surf, bounce_backend, tile,
+                             stack_depth, max_depth, S, shadows, False)
+
+    # Staged width shrink (see pt_trace_frame): alive never resurrects a
+    # dead lane (pop only fires on still-alive terminating lanes), so
+    # the live set is monotone and the pool can shrink 4x whenever it
+    # fits — one live-first 1-operand sort + one head row gather that
+    # moves the lane state AND the parked stacks; dead lanes leave a
+    # (lane, radiance) piece behind for the final reassembly.
+    stage_widths = [N]
+    while stage_widths[-1] // 4 >= min_stage_width:
+        stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
+
+    def run_stage(st, width, next_width):
+        def cond(s):
+            more = jnp.any(s["alive"])
+            if next_width is None:
+                return more
+            return more & (jnp.sum(s["alive"].astype(jnp.int32))
+                           > next_width)
+
+        st = jax.lax.while_loop(cond, bounce_body, st)
+        if next_width is None:
+            return st, None
+
+        r = st["rays"]
+        iota_w = jnp.arange(width, dtype=jnp.int32)
+        perm = jax.lax.sort(
+            (jnp.where(st["alive"], iota_w, jnp.int32(0x7FFFFFFF)),
+             iota_w), num_keys=1)[1]
+        S_mat = jnp.concatenate([
+            r.o, r.d, st["weight"], st["radiance"],
+            st["depth"].astype(jnp.float32)[:, None],
+            st["sp"].astype(jnp.float32)[:, None],
+            st["alive"].astype(jnp.float32)[:, None],
+            st["stk"].reshape(S * 7, width).T,
+            st["stk_w"].reshape(S * 3, width).T], axis=1)
+        head = jnp.take(S_mat, perm[:next_width], axis=0)
+        lane_h = jnp.take(st["lane"], perm[:next_width])
+
+        S4 = jnp.concatenate([st["lane"].astype(jnp.float32)[:, None],
+                              st["radiance"]], axis=1)
+        piece = jnp.take(S4, perm[next_width:], axis=0)
+
+        st2 = dict(
+            rays=Rays(head[:, 0:3], head[:, 3:6],
+                      jnp.full((next_width,), SECONDARY_TMIN, jnp.float32),
+                      jnp.full((next_width,), SECONDARY_TMAX, jnp.float32)),
+            weight=head[:, 6:9], radiance=head[:, 9:12],
+            depth=head[:, 12].astype(jnp.int32),
+            sp=head[:, 13].astype(jnp.int32),
+            alive=head[:, 14] > 0,
+            stk=head[:, 15:15 + S * 7].T.reshape(S, 7, next_width),
+            stk_w=head[:, 15 + S * 7:15 + S * 10].T.reshape(S, 3,
+                                                            next_width),
+            lane=lane_h, traced=st["traced"], dropped=st["dropped"],
+        )
+        return st2, piece
+
+    pieces = []
+    st = state
+    for si, w_sz in enumerate(stage_widths):
+        nxt = stage_widths[si + 1] if si + 1 < len(stage_widths) else None
+        st, piece = run_stage(st, w_sz, nxt)
+        if piece is not None:
+            pieces.append(piece)
+    pieces.append(jnp.concatenate(
+        [st["lane"].astype(jnp.float32)[:, None], st["radiance"]], axis=1))
+
+    # ---- stage 3: reassembly by lane id ----
+    allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+    radiance = allp[:, 1:4]
+    if len(pieces) > 1:
+        _, r0, r1, r2 = jax.lax.sort(
+            (allp[:, 0], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+            num_keys=1)
+        radiance = jnp.stack([r0, r1, r2], axis=1)
+    rad = radiance.reshape(W, R, 3)
+    return rad, st["traced"], st["dropped"]
 
 
 class WhittedRenderer(TiledRenderer):
@@ -389,6 +603,37 @@ class WhittedRenderer(TiledRenderer):
 
     def _extra_wave_args(self):
         return (self.camera.as_arrays(),)
+
+    def _build_frame_body(self):
+        """Frame-pooled ray trees (whitted_trace_frame) whenever the
+        config would regroup on a cluster engine and trees actually
+        bounce; primary_only (BASELINE config 1) keeps the per-wave scan
+        — its trees die after the first shade, so the pooled path's
+        shrink plumbing would be pure overhead."""
+        cfg = self.context.configuration
+        if (self.primary_only or not cfg.regroup
+                or self.backend not in ("mxu", "pallas", "sparse")):
+            return super()._build_frame_body()
+        scene, env = self.scene, self.environment
+        max_depth = self.max_depth
+        stack_size = max(cfg.max_shading_depth, max_depth + 1)
+        backend = self.backend
+        bounce_backend = self.bounce_backend
+        stack_depth = cfg.traversal_stack_depth
+        trace_block = cfg.trace_block
+        shadows = self.shadows
+
+        def frame_body(fb3, xs, ys, alives, key, spp, cam_arrays):
+            del spp  # Whitted uses per-frame keys only
+            tile = min(trace_block, xs.shape[1])
+            rad, traced, dropped = whitted_trace_frame(
+                scene, env, cam_arrays, xs, ys, alives, key, max_depth,
+                stack_size, backend=backend, tile=tile,
+                stack_depth=stack_depth, shadows=shadows,
+                bounce_backend=bounce_backend)
+            return fb3 + rad, traced, dropped
+
+        return frame_body
 
     def _build_wave_fn(self):
         scene, env = self.scene, self.environment

@@ -18,7 +18,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SYNC_OVERHEAD_S = 0.032  # measured tunnel round-trip for a value readback
+_SYNC_OVERHEAD_S = None   # calibrated at first use (see _sync_overhead)
+
+
+def _sync_overhead() -> float:
+    """Measure the fixed cost of one dispatch + value readback on THIS
+    backend (a remote tunnel pays a ~30ms round trip; direct hardware or
+    CPU pays ~nothing). Hard-coding the tunnel constant silently skewed
+    every stage number on other backends, so it is timed once per
+    process: median of 5 empty-readback round trips."""
+    global _SYNC_OVERHEAD_S
+    if _SYNC_OVERHEAD_S is None:
+        @jax.jit
+        def nop(eps):
+            return eps + 1.0
+
+        float(np.asarray(nop(jnp.float32(0))))            # compile + warm
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(nop(jnp.float32(i + 1))))    # distinct input
+            ts.append(time.perf_counter() - t0)
+        _SYNC_OVERHEAD_S = float(np.median(ts))
+    return _SYNC_OVERHEAD_S
 
 
 def _timed_loop(fn, args, iters):
@@ -32,10 +54,11 @@ def _timed_loop(fn, args, iters):
             return jnp.sum(out) * 1e-12 + eps
         return jax.lax.fori_loop(0, iters, step, eps)
 
+    sync = _sync_overhead()
     float(np.asarray(run(jnp.float32(0), *args)))          # compile + warm
     t0 = time.perf_counter()
     float(np.asarray(run(jnp.float32(1e-7), *args)))       # distinct input
-    return max(time.perf_counter() - t0 - _SYNC_OVERHEAD_S, 0.0) / iters
+    return max(time.perf_counter() - t0 - sync, 0.0) / iters
 
 
 def profile_stages(renderer, key=None, iters: int = 10) -> dict:

@@ -106,6 +106,69 @@ def test_pt_pooled_matches_per_wave_depth0(small_scene):
     np.testing.assert_array_equal(imgs[True], imgs[False])
 
 
+def _frame_inputs(n_lanes, wave, w, h):
+    from rayaccel_tpu.render.tiled import block_swizzle
+    perm, x, y = block_swizzle(w, h, n_lanes)
+    W = n_lanes // wave
+    return (jnp.asarray(x.reshape(W, wave), jnp.int32),
+            jnp.asarray(y.reshape(W, wave), jnp.int32),
+            jnp.asarray((perm >= 0).reshape(W, wave)))
+
+
+def test_pt_pooled_depth2_cross_engine(small_scene):
+    """The production frame-pooled pipeline at depth 2: the mxu-bounce
+    and sparse-bounce variants share RNG keys and exact winner math, so
+    the pooled radiance must agree to float tolerance — a percent-level
+    radiance bug in the shrink/reassembly or spill bookkeeping of either
+    engine breaks this (VERDICT round-2 weak #3)."""
+    from rayaccel_tpu.render.pathtracer import pt_trace_frame
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    s = small_scene
+    cs = compile_clusters(s)
+    from rayaccel_tpu.environment import create_environment
+    env = create_environment(s.env_pixels, s.env_pixels.shape[1],
+                             s.env_pixels.shape[0])
+    xs, ys, als = _frame_inputs(4096, 1024, 64, 64)
+    cam = cam_of(s).as_arrays()
+    out = {}
+    for bb in ("mxu", "sparse"):
+        rad, traced, dropped = pt_trace_frame(
+            cs, env, cam, xs, ys, als, jax.random.PRNGKey(5), 2,
+            backend="mxu", tile=512, bounce_backend=bb)
+        assert int(dropped) == 0
+        out[bb] = np.asarray(rad)
+    np.testing.assert_allclose(out["mxu"], out["sparse"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pt_pooled_shrink_boundary_bitwise(small_scene):
+    """Force a mid-frame pool shrink (min_stage_width floor) and check
+    lane reassembly against the same frame with the shrink disabled: the
+    staged shrink and piece reassembly must be a pure re-ordering of
+    lanes. Tolerance is 1-ULP scale (the deferred env batch is row-
+    permuted by the shrink, which perturbs XLA's reduction order); a
+    reassembly bug scrambles whole pixels and fails by many orders."""
+    from rayaccel_tpu.render.pathtracer import pt_trace_frame
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    s = small_scene
+    cs = compile_clusters(s)
+    from rayaccel_tpu.environment import create_environment
+    env = create_environment(s.env_pixels, s.env_pixels.shape[1],
+                             s.env_pixels.shape[0])
+    xs, ys, als = _frame_inputs(4096, 512, 64, 64)
+    cam = cam_of(s).as_arrays()
+    rads = {}
+    for msw in (1024, 1 << 30):  # 4096 -> [4096, 1024] vs [4096]
+        rad, _, dropped = pt_trace_frame(
+            cs, env, cam, xs, ys, als, jax.random.PRNGKey(9), 2,
+            backend="mxu", tile=512, bounce_backend="mxu",
+            min_stage_width=msw)
+        assert int(dropped) == 0
+        rads[msw] = np.asarray(rad)
+    np.testing.assert_allclose(rads[1024], rads[1 << 30],
+                               rtol=5e-7, atol=1e-7)
+
+
 def test_pt_backends_agree(small_scene):
     """The two traversal engines must produce statistically identical
     renders — the cross-engine oracle (reference: Embree vs OpenCL image
@@ -230,6 +293,78 @@ def test_render_api_parity(small_scene):
     stats = racc.render(ctx, None, None, r)
     assert int(stats.rays_traced) > 0
     assert r.spp == 1
+
+
+def test_whitted_pooled_matches_per_wave(small_scene):
+    """Whitted shading is deterministic (no RNG), so the frame-pooled
+    tree loop (regroup=True => pooled) must reproduce the per-wave
+    fallback (regroup=False) exactly: same primaries, same trees, same
+    parked-stack drain — only the schedule differs."""
+    s = type(small_scene)(**{**small_scene.__dict__, "max_depth": 4})
+    imgs = {}
+    for pooled in (True, False):
+        r = racc.WhittedRenderer(make_context("mxu", regroup=pooled),
+                                 cam_of(s), s)
+        r.render_frame(jax.random.PRNGKey(2))
+        assert r.dropped == 0
+        imgs[pooled] = r.image()
+    np.testing.assert_allclose(imgs[True], imgs[False],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_whitted_pooled_shrink_boundary(small_scene):
+    """Force the pooled Whitted shrink ladder and compare against the
+    unshrunk frame: moving a lane's parked stack through the shrink
+    gather must preserve its pending subtree bitwise."""
+    from rayaccel_tpu.render.whitted import whitted_trace_frame
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    s = type(small_scene)(**{**small_scene.__dict__, "max_depth": 6})
+    cs = compile_clusters(s)
+    from rayaccel_tpu.environment import create_environment
+    env = create_environment(s.env_pixels, s.env_pixels.shape[1],
+                             s.env_pixels.shape[0])
+    xs, ys, als = _frame_inputs(4096, 512, 64, 64)
+    cam = cam_of(s).as_arrays()
+    rads = {}
+    for msw in (1024, 1 << 30):
+        rad, traced, dropped = whitted_trace_frame(
+            cs, env, cam, xs, ys, als, jax.random.PRNGKey(4), 4,
+            stack_size=6, backend="mxu", tile=512, bounce_backend="mxu",
+            shadows=True, min_stage_width=msw)
+        assert int(dropped) == 0
+        rads[msw] = np.asarray(rad)
+    np.testing.assert_array_equal(rads[1024], rads[1 << 30])
+
+
+def test_render_api_scene_override(small_scene):
+    """Passing a scene/environment override through racc.render must drop
+    the compiled-frame cache (which closes over the old arrays): the next
+    frame renders the NEW scene (regression: only ``_wave_fn`` was
+    invalidated, so overrides silently rendered the stale closure)."""
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    from rayaccel_tpu.scene.loader import make_test_scene
+    ctx = make_context("mxu")
+    s = small_scene
+    r = racc.PathTracingRenderer(ctx, cam_of(s), s)
+    racc.render(ctx, None, None, r, key=jax.random.PRNGKey(3))
+    img_before = r.image()
+
+    # A visibly different scene: same format, geometry shifted far away
+    # so the camera sees mostly environment.
+    s2 = make_test_scene(viewport=(64, 64), max_depth=3)
+    s2.vertices = s2.vertices + np.float32(500.0)
+    cs2 = compile_clusters(s2)
+    r.clear()
+    racc.render(ctx, cs2, None, r, key=jax.random.PRNGKey(3))
+    img_after = r.image()
+    assert not np.allclose(img_before, img_after), \
+        "scene override rendered the stale compiled closure"
+
+    # Overriding with the SAME object must not recompile (cache kept).
+    fn = r._frame_fn
+    assert fn is not None
+    racc.render(ctx, cs2, None, r, key=jax.random.PRNGKey(4))
+    assert r._frame_fn is fn
 
 
 def test_whitted_shadows(small_scene):

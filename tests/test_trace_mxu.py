@@ -207,6 +207,7 @@ def test_occlusion_xla_and_pallas_match_mxu(scenes, rng):
     from rayaccel_tpu.ops.trace import trace_occlusion_bvh
     from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
     from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
+    from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
     sd, ts, cs = scenes
     n = 2048
     o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
@@ -219,6 +220,29 @@ def test_occlusion_xla_and_pallas_match_mxu(scenes, rng):
     occ_xla = np.asarray(trace_occlusion_bvh(ts, rays, active=active))
     occ_pls = np.asarray(trace_occlusion_pallas(cs, rays, active=active,
                                                 tile=512))
+    occ_sps = np.asarray(trace_occlusion_sparse(cs, rays, active=active,
+                                                sp_tile=512))
     np.testing.assert_array_equal(occ_xla, occ_mxu)
     np.testing.assert_array_equal(occ_pls, occ_mxu)
+    np.testing.assert_array_equal(occ_sps, occ_mxu)
     assert not occ_mxu[3::4].any()
+
+
+def test_occlusion_sparse_multipass_tiny_k(scenes, rng):
+    """The sparse any-hit must stay exact when k_pairs is below the
+    overlap tail: unoccluded rays with a valid spill restart until the
+    window is exhausted (the any-hit analog of the closest-hit spill
+    multipass)."""
+    from rayaccel_tpu.ops.trace import trace_occlusion_bvh
+    from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
+    sd, ts, cs = scenes
+    n = 1024
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=20.0)
+    occ_ref = np.asarray(trace_occlusion_bvh(ts, rays))
+    occ = np.asarray(trace_occlusion_sparse(cs, rays, k_pairs=1,
+                                            sp_tile=512, max_passes=24))
+    np.testing.assert_array_equal(occ, occ_ref)

@@ -120,6 +120,27 @@ def test_sparse_multipass_exact_with_tiny_k(scenes, rng):
     assert_hits_match_near_ties(h_ref, res.hits, rays)
 
 
+def test_sparse_rank_phased_exact(scenes, rng):
+    """k_first=1 (rank-phased pass 1: nearest cluster only, unresolved
+    rays go to the bucketed restarts) must produce exactly the hits of
+    the batch engine — rank-phasing is a schedule, not an approximation."""
+    sd, ts, cs = scenes
+    n = 4096
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    full, ov_full = trace_sparse(cs, rays, sp_tile=512, max_passes=8)
+    rp, ov_rp = trace_sparse(cs, rays, sp_tile=512, max_passes=8,
+                             k_first=1)
+    assert int(ov_rp) == 0 and int(ov_full) == 0
+    np.testing.assert_array_equal(np.asarray(full.hits.tri),
+                                  np.asarray(rp.hits.tri))
+    np.testing.assert_allclose(np.asarray(full.hits.t),
+                               np.asarray(rp.hits.t), rtol=1e-6)
+
+
 def test_sparse_pass_cap_reports_unresolved(scenes):
     """With the pass cap at 1, rays whose overlap spills past k_pairs
     cannot be proven complete and must be counted in overflow; raising
@@ -133,6 +154,74 @@ def test_sparse_pass_cap_reports_unresolved(scenes):
     _, ov8 = trace_sparse(cs, rays, k_pairs=1, sp_tile=512, max_passes=8)
     assert int(ov8) == 0
     assert int(ov1) >= int(ov8)
+
+
+def test_sparse_restart_progress_on_tied_entries(rng):
+    """Rays starting INSIDE several cluster AABBs see identical entry
+    distances (all clamp to tmin): the spill entry equals the window
+    start, so a restart that only advances tlo would re-select the same
+    nearest-K set and spin to max_passes (counted as overflow, possibly
+    keeping a non-nearest hit). The packed-word exclusion must advance
+    past >= K fresh candidates per pass and resolve exactly.
+
+    The scene is a fan of triangles all sharing the apex (0, 1, 0):
+    every cluster's AABB contains the apex, so rays from it overlap all
+    clusters at entry exactly 0."""
+    import jax.numpy as jnp
+    from rayaccel_tpu.ops.intersect import safe_inv_dir
+    from rayaccel_tpu.scene.data import (SceneData, compute_face_normals,
+                                         compute_vertex_normals)
+    n_tri = 64
+    verts, idx = [], []
+    for i in range(n_tri):
+        a = 2 * np.pi * i / n_tri
+        b = a + 0.05
+        bi = len(verts)
+        verts += [(0.0, 1.0, 0.0),
+                  (3 * np.cos(a), 1.3, 3 * np.sin(a)),
+                  (3 * np.cos(b), 0.7, 3 * np.sin(b))]
+        idx.append((bi, bi + 1, bi + 2))
+    verts = np.asarray(verts, np.float32)
+    idx = np.asarray(idx, np.uint32)
+    sd = SceneData(
+        vertices=verts, indices=idx,
+        triangle_materials=np.zeros(len(idx), np.uint16),
+        triangle_normals=compute_face_normals(verts, idx),
+        normals=compute_vertex_normals(verts, idx),
+        texcoords=np.zeros((len(verts), 2), np.float32),
+        materials=np.asarray([[0.8, 0.8, 0.8, 1.5]], np.float32),
+    ).validate()
+    from rayaccel_tpu.scene.compile import compile_scene
+    ts = compile_scene(sd)
+    cs = compile_clusters(sd, cluster_size=8)
+
+    n = 512
+    o = np.tile(np.asarray([1e-3, 1.0, 2e-3], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # Confirm the construction: every ray overlaps >= 3 clusters with
+    # entry exactly 0 (tied at the window start).
+    inv = safe_inv_dir(jnp.asarray(d))
+    t0 = jnp.zeros((n, cs.n_clusters))
+    t1 = jnp.full((n, cs.n_clusters), 1e6)
+    for a in range(3):
+        tn = (cs.cl_bbmin[:, a][None, :] - o[:, a][:, None]) * inv[:, a][:, None]
+        tf = (cs.cl_bbmax[:, a][None, :] - o[:, a][:, None]) * inv[:, a][:, None]
+        t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
+        t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
+    n_at_zero = np.asarray(jnp.sum(((t0 <= t1) & (t0 <= 0.0)).astype(np.int32),
+                                   axis=1))
+    # With k_pairs=1, two clusters tied at entry 0 already reproduce the
+    # spin: the restart window cannot advance past a tied entry.
+    assert n_at_zero.min() >= 2, "fan no longer produces tied entries"
+
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    h_ref = trace_bruteforce(ts.tri_verts, rays)
+    res, overflow = trace_sparse(cs, rays, sp_tile=512, k_pairs=1,
+                                 max_passes=24)
+    assert int(overflow) == 0
+    assert_hits_match_near_ties(h_ref, res.hits, rays)
 
 
 def test_select_kernel_matches_reference(scenes, rng):
