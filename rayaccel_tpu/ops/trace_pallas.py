@@ -54,7 +54,7 @@ from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 # host sync). Beyond the largest bucket, each tile's FARTHEST clusters are
 # dropped and counted.
 CAP_BUCKETS = (8, 16, 64)
-K_PER_STEP = 4
+K_PER_STEP = int(__import__("os").environ.get("RACC_K_STEP", "4"))
 OUT_COLS = 8            # [packed score | slot bits | pad...]
 _COL_BITS = 7           # candidate column rides in the score's low mantissa
 _SIGN = -2147483648     # 0x80000000 as a Python int
@@ -123,7 +123,10 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             best_f = jax.lax.bitcast_convert_type(best_i, jnp.float32)
             # ad > 0 is implied: if ad == 0 then ts > ad*tmin and
             # ts < ad*best cannot both hold (tmin >= 0 framework-wide).
-            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
+            # Edge test uses |u+v| <= ad: given sign_ok (u, v, det share
+            # sign) it equals |u|+|v| <= ad, one abs cheaper; when signs
+            # differ sign_ok already fails.
+            valid = (sign_ok & (jnp.abs(u_n + v_n) <= ad)
                      & (ts > ad * tmin) & (ts < ad * best_f[None, :]))
             score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
                               3e38)
@@ -255,7 +258,7 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             ts = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(t_n, jnp.int32)
                 ^ (det_i & _SIGN), jnp.float32)
-            valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
+            valid = (sign_ok & (jnp.abs(u_n + v_n) <= ad)
                      & (ts > ad * tmin) & (ts <= ad * tmax))
             occ = occ | jnp.any(valid, axis=0)
         out_ref[0] = jnp.concatenate(
