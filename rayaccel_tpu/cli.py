@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave-size", type=int, default=128 * 128 * 4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="out.png", help=".png or .pfm output")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="serve a LIVE interactive view on "
+                        "http://127.0.0.1:PORT/ with WASD/mouse camera "
+                        "controls (the reference's GLUT loop, "
+                        "main.cpp:239-282, for a headless TPU host)")
     p.add_argument("--preview-every", type=int, default=0,
                    help="re-write --out every K progressive samples — the "
                         "file-backed analog of the reference's per-frame "
@@ -140,6 +145,15 @@ def main(argv=None) -> int:
                 base_key = stored_key
             if not args.quiet:
                 print(f"resumed at spp={renderer.spp}")
+
+    if args.serve:
+        # Live interactive loop (reference main.cpp:239-282 analog): a
+        # localhost presenter with WASD/mouse controls; camera moves
+        # reset progressive accumulation.
+        from rayaccel_tpu.utils.viewer import Viewer
+        viewer = Viewer(renderer, base_key, scene_data.cam_up,
+                        port=args.serve)
+        return viewer.run(quiet=args.quiet)
 
     stats = RenderStats()
 

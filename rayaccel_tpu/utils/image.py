@@ -21,8 +21,8 @@ def tonemap(hdr: np.ndarray, spp: int = 1) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def write_png(path: str, rgb8: np.ndarray) -> None:
-    """Minimal dependency-free PNG writer for (H, W, 3) uint8."""
+def encode_png(rgb8: np.ndarray) -> bytes:
+    """Minimal dependency-free PNG encoder for (H, W, 3) uint8."""
     h, w, _ = rgb8.shape
     raw = b"".join(b"\x00" + rgb8[y].tobytes() for y in range(h))
 
@@ -31,10 +31,14 @@ def write_png(path: str, rgb8: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb8: np.ndarray) -> None:
+    """Write (H, W, 3) uint8 as PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb8))
 
 
 def write_pfm(path: str, rgb: np.ndarray) -> None:
