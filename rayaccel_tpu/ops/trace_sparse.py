@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import safe_inv_dir
-from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF
+from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
 from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, ATTR_TRI_ID_COL,
                                          RAY_FEATURES, ClusterScene)
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
@@ -76,13 +76,17 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
     exactly one item writes it; the first item of each block initializes
     the whole block to the miss marker.
 
-    The per-pair input block carries only the GATHERED 8 ray columns
-    (d, o, tlo, tmax — rows 0-7) plus the lane word (cluster |
-    rank << 20) as raw bits in row 8: the pair gather is row-latency
-    bound, so halving its width nearly halves the dominant per-pair HBM
-    term (docs/PERF_NOTES.md round-3 decomposition). The bilinear
-    feature rows the G matmul needs (d x o cross terms, the ones row)
-    are rebuilt IN-KERNEL — a handful of lane-wise VPU ops."""
+    The per-lane word (cluster | rank << 20) rides as raw bits in the
+    gathered F row's unused column 12 (a denormal float; the matching G
+    rows are zero, so it contributes nothing to the matmul) — a separate
+    int input block would violate the TPU (8, 128) block-shape rule.
+
+    NOTE (round 3): an 8-column-gather variant that rebuilt the bilinear
+    cross-term rows in-kernel produced silently WRONG hits on hardware
+    (correct in interpret mode) in two different formulations (register
+    concatenate AND scratch row-writes) — a Mosaic lowering issue around
+    assembling a matmul operand from computed rows. Reverted to the
+    16-column gather; see docs/PERF_NOTES.md before retrying."""
     # TRANSPOSED layout: pairs on the 128-lane minor axis (F (16, sp),
     # G (4C, 16), out (OUT_COLS, sp)) — lane-aligned blocks, sublane-axis
     # candidate min (see the select kernel's identical fix).
@@ -105,22 +109,12 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
     def _step():
         Fm = F_ref[0]                                   # (16, sp)
         cluster = packed_item & 0xFFFF
-        lanes = jax.lax.bitcast_convert_type(Fm[8], jnp.int32)
+        lanes = jax.lax.bitcast_convert_type(Fm[12], jnp.int32)
         mask = (lanes & _CL_MASK) == cluster
         rank = jax.lax.shift_right_logical(lanes, _RANK_SHIFT)
 
-        # Rebuild the bilinear feature rows: F16 = [d, o, d x o, 1, 0...]
-        # (matching scene/clusters.py G layout; G rows 10-15 are zero).
-        cx = Fm[1] * Fm[5] - Fm[2] * Fm[4]
-        cy = Fm[2] * Fm[3] - Fm[0] * Fm[5]
-        cz = Fm[0] * Fm[4] - Fm[1] * Fm[3]
-        F16 = jnp.concatenate([
-            Fm[0:6], cx[None, :], cy[None, :], cz[None, :],
-            jnp.ones((1, sp), jnp.float32),
-            jnp.zeros((6, sp), jnp.float32)], axis=0)
-
-        tmin = Fm[6][None, :]
-        S = jax.lax.dot(G_ref[0], F16, precision=precision)
+        tmin = Fm[10][None, :]
+        S = jax.lax.dot(G_ref[0], Fm, precision=precision)
         det = S[0 * C:1 * C]
         u_n = S[1 * C:2 * C]
         v_n = S[2 * C:3 * C]
@@ -133,10 +127,9 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
         ts = jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(t_n, jnp.int32)
             ^ (det_i & _SIGN), jnp.float32)
-        tmax = Fm[7][None, :]
+        tmax = Fm[11][None, :]
         # ad > 0 implied by the strict t-range tests (tmin >= 0).
-        # |u+v| == |u|+|v| exactly under sign_ok (same-sign adds).
-        valid = (sign_ok & (jnp.abs(u_n + v_n) <= ad)
+        valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
                  & (ts > ad * tmin) & (ts < ad * tmax))
         # Exact division (unlike the dense kernel's approx reciprocal):
         # this body is grid-tax-bound, so the extra VPU cycles are free
@@ -426,10 +419,8 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
         cl_f = jnp.pad(cl_f, (0, kr_pad - kr),
                        constant_values=_DEAD_CLUSTER)
         rr_f = jnp.pad(rr_f, (0, kr_pad - kr))
-    # Narrow per-ray gather source: [d, o, tlo, tmax] — the kernel
-    # rebuilds the bilinear cross-term rows in VMEM (_kernel doc).
-    F_pass = jnp.stack([d[0], d[1], d[2], o[0], o[1], o[2],
-                        tlo, tmax_p], axis=1)
+    F_pass = _ray_features(o, d)
+    F_pass = F_pass.at[:, 10].set(tlo).at[:, 11].set(tmax_p)
 
     def pair_branch(mp):
         Bp = mp // SP
@@ -443,17 +434,13 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
             cl_s = cl_full[:mp]
             ray_s = rr_full[:mp] >> 3
             rank_s = rr_full[:mp] & 7
-            F8 = jnp.take(F_pass, ray_s, axis=0)          # (mp, 8)
+            Fp = jnp.take(F_pass, ray_s, axis=0)          # (mp, 16)
             lanes = jnp.where(cl_s >= _DEAD_CLUSTER,
                               jnp.int32(_DEAD_CLUSTER),
                               cl_s | (rank_s << _RANK_SHIFT))
-            # Lane words ride in row 8 as raw bits (_kernel doc); rows
-            # 9-15 pad the sublane dim (cheap sequential writes — only
-            # the 8-col GATHER pays per-row latency).
-            Fp = jnp.concatenate([
-                F8,
-                jax.lax.bitcast_convert_type(lanes, jnp.float32)[:, None],
-                jnp.zeros((mp, RAY_FEATURES - 9), jnp.float32)], axis=1)
+            # Lane words ride in F column 12 as raw bits (_kernel doc).
+            Fp = Fp.at[:, 12].set(
+                jax.lax.bitcast_convert_type(lanes, jnp.float32))
             Fp = Fp.reshape(Bp, SP, RAY_FEATURES).transpose(0, 2, 1)
 
             # Work items: one per cluster run per block.
