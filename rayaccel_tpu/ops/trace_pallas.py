@@ -120,16 +120,25 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
             ts = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(t_n, jnp.int32)
                 ^ (det_i & _SIGN), jnp.float32)
-            best_f = jax.lax.bitcast_convert_type(best_i, jnp.float32)
-            # ad > 0 is implied: if ad == 0 then ts > ad*tmin and
-            # ts < ad*best cannot both hold (tmin >= 0 framework-wide).
-            # Edge test uses |u+v| <= ad: given sign_ok (u, v, det share
-            # sign) it equals |u|+|v| <= ad, one abs cheaper; when signs
-            # differ sign_ok already fails.
+            # Decode trim (round 3): the t < tmax guard (two ad-muls, a
+            # cmp, and the best_f bitcast — a LOOP-CARRIED use of best)
+            # is implied by the min-merge against ``best`` (initialized
+            # to tmax_eff bits) up to approx-reciprocal noise (~2^-12
+            # rel.); tmax never binds for primaries (1e6) and inactive
+            # lanes' negative-bits init still rejects everything. The
+            # t > tmin guard rides the score domain (epsilon-scale shift
+            # of the self-hit cutoff only). ad > 0 is implied (a finite
+            # positive score > tmin requires it; ad == 0 yields NaN or
+            # +-inf scores, both rejected). Edge test |u+v| <= ad equals
+            # |u|+|v| <= ad under sign_ok; when signs differ sign_ok
+            # already fails.
+            # NOTE: keep the f32 where-on-score + unconditional pack
+            # shape — an i32 select against a broadcast miss constant
+            # measured 23% SLOWER (docs/PERF_NOTES.md round-3 probes).
+            score_q = ts * pl.reciprocal(ad, approx=True)
             valid = (sign_ok & (jnp.abs(u_n + v_n) <= ad)
-                     & (ts > ad * tmin) & (ts < ad * best_f[None, :]))
-            score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
-                              3e38)
+                     & (score_q > tmin))
+            score = jnp.where(valid, score_q, 3e38)
             # Pack the candidate column into the score's low mantissa bits
             # (rel. error 2^-16, under the approx-reciprocal noise).
             sp = ((jax.lax.bitcast_convert_type(score, jnp.int32)

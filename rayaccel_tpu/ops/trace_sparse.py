@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rayaccel_tpu.environment import Environment, sample_environment_onehot
 from rayaccel_tpu.ops.intersect import safe_inv_dir
-from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF, _ray_features
+from rayaccel_tpu.ops.trace_mxu import MxuHits, _INF
 from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, ATTR_TRI_ID_COL,
                                          RAY_FEATURES, ClusterScene)
 from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
@@ -419,8 +419,14 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
         cl_f = jnp.pad(cl_f, (0, kr_pad - kr),
                        constant_values=_DEAD_CLUSTER)
         rr_f = jnp.pad(rr_f, (0, kr_pad - kr))
-    F_pass = _ray_features(o, d)
-    F_pass = F_pass.at[:, 10].set(tlo).at[:, 11].set(tmax_p)
+    # Narrow per-ray gather source: [d, o, tlo, tmax]. The pair F-row
+    # gather is ROW-LATENCY bound (~23ns/row at 16 cols vs ~13 at 8,
+    # docs/PERF_NOTES.md facts table), so the bilinear cross-term rows
+    # are rebuilt AFTER the gather in XLA — same formulas as
+    # _ray_features, bit-identical values, and no Mosaic change (the
+    # in-kernel rebuild miscompiled; see the round-3 incident note).
+    F8_pass = jnp.stack([d[0], d[1], d[2], o[0], o[1], o[2],
+                         tlo, tmax_p], axis=1)
 
     def pair_branch(mp):
         Bp = mp // SP
@@ -430,17 +436,27 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
         calls = [_make_call(b, Bp, SP, C, col_bits, prec, interpret)
                  for b in item_buckets]
 
-        def br(cl_full, rr_full, F_pass):
+        def br(cl_full, rr_full, F8_pass):
             cl_s = cl_full[:mp]
             ray_s = rr_full[:mp] >> 3
             rank_s = rr_full[:mp] & 7
-            Fp = jnp.take(F_pass, ray_s, axis=0)          # (mp, 16)
+            F8 = jnp.take(F8_pass, ray_s, axis=0)         # (mp, 8)
+            dx, dy, dz = F8[:, 0], F8[:, 1], F8[:, 2]
+            ox, oy, oz = F8[:, 3], F8[:, 4], F8[:, 5]
             lanes = jnp.where(cl_s >= _DEAD_CLUSTER,
                               jnp.int32(_DEAD_CLUSTER),
                               cl_s | (rank_s << _RANK_SHIFT))
-            # Lane words ride in F column 12 as raw bits (_kernel doc).
-            Fp = Fp.at[:, 12].set(
-                jax.lax.bitcast_convert_type(lanes, jnp.float32))
+            # Rebuild [d, o, d x o, 1 | tlo, tmax, lanes, 0...] — rows
+            # 0-9 match scene/clusters.py's G layout exactly
+            # (_ray_features formulas); lane words ride col 12 as raw
+            # bits (_kernel doc).
+            zero = jnp.zeros_like(dx)
+            Fp = jnp.stack([
+                dx, dy, dz, ox, oy, oz,
+                dy * oz - dz * oy, dz * ox - dx * oz, dx * oy - dy * ox,
+                jnp.ones_like(dx), F8[:, 6], F8[:, 7],
+                jax.lax.bitcast_convert_type(lanes, jnp.float32),
+                zero, zero, zero], axis=1)
             Fp = Fp.reshape(Bp, SP, RAY_FEATURES).transpose(0, 2, 1)
 
             # Work items: one per cluster run per block.
@@ -470,7 +486,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
     pb = sum((total_pairs > b).astype(jnp.int32)
              for b in pair_buckets[:-1])
     best_p = jax.lax.switch(pb, [pair_branch(m) for m in pair_buckets],
-                            cl_f, rr_f, F_pass)
+                            cl_f, rr_f, F8_pass)
 
     # Decode this pass's winner slot via its lattice rank.
     rank_w = (best_p >> col_bits) & 7

@@ -104,8 +104,11 @@ if hit_mismatch.sum():
                           "t_full": float(t_full[i]),
                           "t_chunk": float(t_c[i])}), flush=True)
 
-# (c) lockstep BVH oracle on the first 65k
-sl = slice(0, WAVE)
+# (c) lockstep BVH oracle on the MOST-LIVE 65k wave (wave 0 can be all
+# sky/dead, which would make this check vacuous — n_live is printed so a
+# vacuous run is visible)
+w_best = int(np.argmax(live.reshape(-1, WAVE).sum(axis=1)))
+sl = slice(w_best * WAVE, (w_best + 1) * WAVE)
 rw = Rays(o=rays.o[sl], d=rays.d[sl], tmin=rays.tmin[sl], tmax=rays.tmax[sl])
 h_ref = trace_bvh(ts, rw, active=alive[sl])
 tri_r = np.asarray(h_ref.tri)
