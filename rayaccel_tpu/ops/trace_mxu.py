@@ -17,9 +17,12 @@ and caps at single-digit Mrays/s) with dense linear algebra:
   slow per-lane, not per-tile) and intersects tile x cluster with one
   batched (RT,16)@(16,4C) matmul using the bilinear Moller-Trumbore
   factorization (scene/clusters.py), decoded on the VPU.
-- Shading attributes of the winning triangle are fetched by one-hot
-  matmul from per-cluster rows: the full trace+shade path performs ZERO
-  per-ray gathers.
+- Shading attributes of the winning triangle are fetched with ONE
+  per-ray row gather at the end (the winner's global slot id is carried
+  through the loop).  A one-hot matmul would be wrong here, not just
+  slower: the attr rows carry bf16-pair packed words whose f32 bit
+  patterns can be denormal (scene/clusters.py), and matmul/FTZ flushes
+  them to zero; gathers are bit-exact.
 
 Front-to-back queue order + per-ray closest-t rejection give the same
 pruning the reference gets from ordered traversal with tMax shrinking
@@ -176,7 +179,6 @@ def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
     # Reshaped views for batched per-tile work.
     F = _ray_features(o, d).reshape(T, tile, RAY_FEATURES)
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 0, 2)  # (N_c,16,4C)
-    A3 = cs.attrs.reshape(n_c, C, ATTR_COLS)
     I3 = cs.tri_id.reshape(n_c, C)
 
     tmin_t = tmin.reshape(T, tile)
@@ -190,7 +192,7 @@ def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
         best_u=z,
         best_v=z,
         best_tri=z.astype(jnp.int32) + INVALID_TRIANGLE,
-        best_attr=jnp.broadcast_to(z[:, :, None], (T, tile, ATTR_COLS)),
+        best_slot=z.astype(jnp.int32),
     )
 
     def cond(s):
@@ -237,17 +239,12 @@ def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
         better = (tj < s["best_t"]) & live[:, None]
 
         sel = onehot & better[:, :, None]
-        sel_f = sel.astype(jnp.float32)
         uj = jnp.sum(jnp.where(sel, u * rcp_ad, 0.0), axis=2)
         vj = jnp.sum(jnp.where(sel, v * rcp_ad, 0.0), axis=2)
 
         ids_blk = jnp.take(I3, c_t, axis=0)            # (T, C)
         tri_j = jnp.sum(jnp.where(sel, ids_blk[:, None, :], 0), axis=2)
-
-        A_blk = jnp.take(A3, c_t, axis=0)              # (T, C, ATTR_COLS)
-        attr_j = jax.lax.dot_general(sel_f, A_blk,
-                                     (((2,), (1,)), ((0,), (0,))),
-                                     precision=_HP)    # (T, tile, ATTR_COLS)
+        slot_j = c_t[:, None] * C + j                  # global attr row id
 
         return dict(
             k=k + 1,
@@ -255,7 +252,7 @@ def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
             best_u=jnp.where(better, uj, s["best_u"]),
             best_v=jnp.where(better, vj, s["best_v"]),
             best_tri=jnp.where(better, tri_j, s["best_tri"]),
-            best_attr=jnp.where(better[:, :, None], attr_j, s["best_attr"]),
+            best_slot=jnp.where(better, slot_j, s["best_slot"]),
         )
 
     out = jax.lax.while_loop(cond, body, state)
@@ -264,7 +261,7 @@ def trace_mxu(cs: ClusterScene, rays: Rays, env: Environment | None = None,
     u = out["best_u"].reshape(R)
     v = out["best_v"].reshape(R)
     tri = out["best_tri"].reshape(R)
-    attr = out["best_attr"].reshape(R, ATTR_COLS)
+    attr = jnp.take(cs.attrs, out["best_slot"].reshape(R), axis=0)
 
     hit = tri >= 0
     if env is not None:

@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from rayaccel_tpu.scene.clusters import ATTR_GEOM_COL, ATTR_PACK_COLS
 from rayaccel_tpu.scene.compile import TpuScene
 from rayaccel_tpu.types import Hits, Rays
 
@@ -80,19 +81,34 @@ def surface_from_attrs(attrs: jnp.ndarray, mat_table: jnp.ndarray,
     u = hits.u[:, None]
     v = hits.v[:, None]
     w = 1.0 - u - v
-    n0 = attrs[:, 0:3]
-    n1 = attrs[:, 3:6]
-    n2 = attrs[:, 6:9]
+    # Unpack the bf16-pair shading words (scene/clusters.py layout): a
+    # bf16 is the top half of an f32, so each half decodes with one mask
+    # or shift + bitcast — no float16 hardware path involved.
+    pk = jax.lax.bitcast_convert_type(attrs[:, :ATTR_PACK_COLS], jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        pk & jnp.int32(-0x10000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(pk << 16, jnp.float32)
+    n0 = jnp.stack([hi[:, 0], lo[:, 0], hi[:, 1]], axis=-1)
+    n1 = jnp.stack([lo[:, 1], hi[:, 2], lo[:, 2]], axis=-1)
+    n2 = jnp.stack([hi[:, 3], lo[:, 3], hi[:, 4]], axis=-1)
     ns = n0 * w + n1 * u + n2 * v
     ns = ns * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(ns * ns, axis=-1, keepdims=True), 1e-30))
-    ng = attrs[:, 9:12]
-    uv = attrs[:, 12:14] * w + attrs[:, 14:16] * u + attrs[:, 16:18] * v
+    # Geometric normal from the exact stored edges — same winding and
+    # formula as scene/data.py compute_face_normals.
+    e1 = attrs[:, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6]
+    e2 = attrs[:, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9]
+    ng = jnp.cross(e1, e2)
+    ng = ng * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(ng * ng, axis=-1, keepdims=True), 1e-30))
+    uv = (hi[:, 5:6] * w + hi[:, 6:7] * u + hi[:, 7:8] * v)
+    uv = jnp.concatenate(
+        [uv, lo[:, 5:6] * w + lo[:, 6:7] * u + lo[:, 7:8] * v], axis=-1)
 
     # Material parameters via tiny one-hot contraction (M is small; the
     # reference's per-instance virtual dispatch, Materials.h:15-20, is a
     # 4-row table here).
-    m = attrs[:, 18].astype(jnp.int32)
+    m = lo[:, 4].astype(jnp.int32)
     onehot = (jax.lax.broadcasted_iota(jnp.int32,
                                        (m.shape[0], mat_table.shape[0]), 1)
               == m[:, None]).astype(jnp.float32)

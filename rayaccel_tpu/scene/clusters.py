@@ -43,11 +43,50 @@ from rayaccel_tpu.scene.bvh import Bvh2, KIND_LEAF, build_bvh
 from rayaccel_tpu.scene.data import SceneData
 
 RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
-ATTR_COLS = 32      # per-triangle attribute row
-ATTR_TRI_ID_COL = 19  # original triangle id as raw int32 bits (f32 container)
-ATTR_GEOM_COL = 20    # [v0, e1, e2] exact geometry rides in cols 20:32 so
+# Per-triangle attribute row. The winner attr gather runs at FULL pool
+# width every bounce (~1.25ns/element at 983k rows, docs/PERF_NOTES.md),
+# so the row is kept as narrow as exactness allows: the 15 shading
+# floats + material id ride as bf16 pairs in 8 f32 words (2e-3 rel —
+# under interpolation/normalization noise), the geometric normal is
+# DERIVED from the exact stored edges (same winding and formula as
+# scene/data.py compute_face_normals), and only [v0, e1, e2] + tri id
+# stay exact f32 for the winner-reconstruction Moller-Trumbore.
+ATTR_COLS = 21
+ATTR_PACK_COLS = 8    # bf16 pairs (hi|lo): [n0x|n0y, n0z|n1x, n1y|n1z,
+                      #  n2x|n2y, n2z|mat, uv0u|uv0v, uv1u|uv1v, uv2u|uv2v]
+ATTR_TRI_ID_COL = 8   # original triangle id as raw int32 bits (f32 container)
+ATTR_GEOM_COL = 9     # [v0, e1, e2] exact geometry rides in cols 9:21 so
                       # winner reconstruction needs ONE row gather
                       # (per-lane gathers are row-count bound, ~90M rows/s)
+
+
+def _bf16_bits(x: np.ndarray) -> np.ndarray:
+    """f32 -> bf16 bits (uint32) with round-to-nearest-even."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    return ((b + 0x7FFF + ((b >> 16) & 1)) >> 16).astype(np.uint32)
+
+
+def _pack_pairs(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Two f32 columns -> one f32 word holding (bf16(hi) << 16) | bf16(lo)."""
+    return ((_bf16_bits(hi) << 16) | _bf16_bits(lo)).view(np.float32)
+
+
+def unpack_attrs_np(attrs: np.ndarray) -> dict:
+    """Decode the bf16-pair shading words of attr rows (numpy; tests and
+    debugging — the jitted unpack lives in render/shading.py)."""
+    w = np.ascontiguousarray(attrs[:, :ATTR_PACK_COLS],
+                             np.float32).view(np.uint32)
+    hi = (w & np.uint32(0xFFFF0000)).view(np.float32)
+    lo = (w << np.uint32(16)).view(np.float32)
+    return {
+        "n0": np.stack([hi[:, 0], lo[:, 0], hi[:, 1]], -1),
+        "n1": np.stack([lo[:, 1], hi[:, 2], lo[:, 2]], -1),
+        "n2": np.stack([hi[:, 3], lo[:, 3], hi[:, 4]], -1),
+        "mat": lo[:, 4],
+        "uv0": np.stack([hi[:, 5], lo[:, 5]], -1),
+        "uv1": np.stack([hi[:, 6], lo[:, 6]], -1),
+        "uv2": np.stack([hi[:, 7], lo[:, 7]], -1),
+    }
 
 
 class ClusterScene(NamedTuple):
@@ -187,20 +226,24 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
           .reshape(RAY_FEATURES, TP * 4)
           .copy())
 
-    # Shading attributes per padded triangle row:
-    # [n0(0:3) n1(3:6) n2(6:9) ng(9:12) uv0(12:14) uv1(14:16) uv2(16:18)
-    #  mat(18) pad...]
+    # Shading attributes per padded triangle row (bf16-pair layout, see
+    # the ATTR_PACK_COLS comment at the top; ng is derived from e1 x e2
+    # at shading time — scene.triangle_normals is used only by the xla
+    # backend's scene-indexed shading path).
     A = np.zeros((TP, ATTR_COLS), np.float32)
     vn = np.asarray(scene.normals, np.float32)
     vt = np.asarray(scene.texcoords, np.float32)
-    A[real, 0:3] = vn[idx[rid, 0]]
-    A[real, 3:6] = vn[idx[rid, 1]]
-    A[real, 6:9] = vn[idx[rid, 2]]
-    A[real, 9:12] = np.asarray(scene.triangle_normals, np.float32)[rid]
-    A[real, 12:14] = vt[idx[rid, 0]]
-    A[real, 14:16] = vt[idx[rid, 1]]
-    A[real, 16:18] = vt[idx[rid, 2]]
-    A[real, 18] = np.asarray(scene.triangle_materials, np.float32)[rid]
+    n0, n1, n2 = vn[idx[rid, 0]], vn[idx[rid, 1]], vn[idx[rid, 2]]
+    uv0, uv1, uv2 = vt[idx[rid, 0]], vt[idx[rid, 1]], vt[idx[rid, 2]]
+    mat = np.asarray(scene.triangle_materials, np.float32)[rid]
+    A[real, 0] = _pack_pairs(n0[:, 0], n0[:, 1])
+    A[real, 1] = _pack_pairs(n0[:, 2], n1[:, 0])
+    A[real, 2] = _pack_pairs(n1[:, 1], n1[:, 2])
+    A[real, 3] = _pack_pairs(n2[:, 0], n2[:, 1])
+    A[real, 4] = _pack_pairs(n2[:, 2], mat)
+    A[real, 5] = _pack_pairs(uv0[:, 0], uv0[:, 1])
+    A[real, 6] = _pack_pairs(uv1[:, 0], uv1[:, 1])
+    A[real, 7] = _pack_pairs(uv2[:, 0], uv2[:, 1])
     # Original triangle id as raw bits (selected with integer ops by the
     # Pallas kernel; -1 bit pattern for padding slots).
     A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)

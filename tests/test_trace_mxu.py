@@ -9,7 +9,8 @@ import pytest
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
 from rayaccel_tpu.ops.bruteforce import trace_bruteforce
 from rayaccel_tpu.ops.trace_mxu import trace_mxu
-from rayaccel_tpu.scene.clusters import compile_clusters
+from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, compile_clusters,
+                                          unpack_attrs_np)
 from rayaccel_tpu.scene.loader import make_test_scene
 from rayaccel_tpu.types import make_rays, INVALID_TRIANGLE
 
@@ -63,12 +64,18 @@ def test_mxu_attrs_match_gathers(scenes, rng):
     hit = tri >= 0
     assert hit.sum() > 100
     idx = sd.indices[tri[hit]]
-    np.testing.assert_allclose(attrs[hit, 0:3], sd.normals[idx[:, 0]], atol=1e-5)
-    np.testing.assert_allclose(attrs[hit, 3:6], sd.normals[idx[:, 1]], atol=1e-5)
-    np.testing.assert_allclose(attrs[hit, 6:9], sd.normals[idx[:, 2]], atol=1e-5)
-    np.testing.assert_allclose(attrs[hit, 9:12],
-                               sd.triangle_normals[tri[hit]], atol=1e-5)
-    np.testing.assert_allclose(attrs[hit, 18],
+    up = unpack_attrs_np(attrs[hit])
+    # Shading attrs are stored bf16 (2^-9 round-to-nearest rel error).
+    np.testing.assert_allclose(up["n0"], sd.normals[idx[:, 0]], atol=2.5e-3)
+    np.testing.assert_allclose(up["n1"], sd.normals[idx[:, 1]], atol=2.5e-3)
+    np.testing.assert_allclose(up["n2"], sd.normals[idx[:, 2]], atol=2.5e-3)
+    # ng is derived from the exact stored edges.
+    e1 = attrs[hit, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6]
+    e2 = attrs[hit, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9]
+    ng = np.cross(e1, e2)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    np.testing.assert_allclose(ng, sd.triangle_normals[tri[hit]], atol=1e-5)
+    np.testing.assert_allclose(up["mat"],
                                sd.triangle_materials[tri[hit]].astype(np.float32),
                                atol=0)
 

@@ -8,7 +8,8 @@ import pytest
 from rayaccel_tpu.ops.bruteforce import trace_bruteforce
 from rayaccel_tpu.ops.trace_sparse import trace_sparse
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
-from rayaccel_tpu.scene.clusters import compile_clusters
+from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, compile_clusters,
+                                          unpack_attrs_np)
 from rayaccel_tpu.scene.loader import make_test_scene
 from rayaccel_tpu.types import make_rays, INVALID_TRIANGLE
 
@@ -61,11 +62,15 @@ def test_sparse_attrs_and_active_mask(scenes):
     tri = np.asarray(res.hits.tri)
     assert np.all(tri[0::2] >= 0)
     assert np.all(tri[1::2] == INVALID_TRIANGLE)
-    # Attribute rows must match the hit triangle (one-hot-free gather path).
+    # Attribute rows must match the hit triangle (one-hot-free gather
+    # path): ng derived from the row's exact edges.
     attrs = np.asarray(res.attrs)
     hit = tri >= 0
-    np.testing.assert_allclose(attrs[hit, 9:12],
-                               sd.triangle_normals[tri[hit]], atol=1e-5)
+    e1 = attrs[hit, ATTR_GEOM_COL + 3:ATTR_GEOM_COL + 6]
+    e2 = attrs[hit, ATTR_GEOM_COL + 6:ATTR_GEOM_COL + 9]
+    ng = np.cross(e1, e2)
+    ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    np.testing.assert_allclose(ng, sd.triangle_normals[tri[hit]], atol=1e-5)
 
 
 def test_sparse_tmin_tmax(scenes, rng):

@@ -75,6 +75,9 @@ t_ok = (np.abs(t_r - t_p) <= 1e-3 * np.maximum(np.abs(t_r), 1)
 emit(stage="dense_vs_bvh_oracle", hitmiss_disagree=int((~agree).sum()),
      t_disagree=int((~t_ok).sum()), n_live=int(lv.sum()))
 
+if _os.environ.get("RACC_PROBE_DENSE_ONLY"):
+    _sys.exit(0)
+
 # ---- real bounce pool ----
 @jax.jit
 def make_bounce_wave(x, y, alive0, k):
