@@ -51,11 +51,11 @@ RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
 # DERIVED from the exact stored edges (same winding and formula as
 # scene/data.py compute_face_normals), and only [v0, e1, e2] + tri id
 # stay exact f32 for the winner-reconstruction Moller-Trumbore.
-ATTR_COLS = 21
+ATTR_COLS = 18
 ATTR_PACK_COLS = 8    # bf16 pairs (hi|lo): [n0x|n0y, n0z|n1x, n1y|n1z,
                       #  n2x|n2y, n2z|mat, uv0u|uv0v, uv1u|uv1v, uv2u|uv2v]
 ATTR_TRI_ID_COL = 8   # original triangle id as raw int32 bits (f32 container)
-ATTR_GEOM_COL = 9     # [v0, e1, e2] exact geometry rides in cols 9:21 so
+ATTR_GEOM_COL = 9     # [v0, e1, e2] exact geometry rides in cols 9:18 so
                       # winner reconstruction needs ONE row gather
                       # (per-lane gathers are row-count bound, ~90M rows/s)
 
