@@ -552,11 +552,13 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
 
     # Restart passes on the compacted unresolved set. Shadow queries can
     # leave a larger unresolved tail than closest-hit (no tmax shrink),
-    # so the restart width is R/8.
-    Rs = min(-(-R // SP) * SP, max(SP, (-(-R // 8 // SP)) * SP))
+    # so the ladder tops out at R/8 (see trace_sparse's ladder note).
+    r_pad_o = -(-R // SP) * SP
+    width_buckets = sorted({min(r_pad_o, max(SP, (-(-R // dv // SP)) * SP))
+                            for dv in (64, 8)})
     iota_r = jnp.arange(R, dtype=jnp.int32)
 
-    def sub_body(st):
+    def sub_body(st, Rs):
         uidx = jax.lax.sort(
             jnp.where(st["unresolved"], iota_r, jnp.int32(0x7FFFFFFF)))
         uidx = uidx[:Rs] if Rs <= R else jnp.pad(
@@ -592,9 +594,17 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
             n_pass=st["n_pass"] + 1,
         )
 
+    def restart_body(st):
+        if len(width_buckets) == 1:
+            return sub_body(st, width_buckets[0])
+        n_un = jnp.sum(st["unresolved"].astype(jnp.int32))
+        br = sum((n_un > b).astype(jnp.int32) for b in width_buckets[:-1])
+        return jax.lax.switch(
+            br, [partial(sub_body, Rs=w) for w in width_buckets], st)
+
     out = jax.lax.while_loop(
         lambda st: jnp.any(st["unresolved"]) & (st["n_pass"] < max_passes),
-        sub_body,
+        restart_body,
         dict(occluded=occluded, tlo=tlo, prev=spill, unresolved=unresolved,
              n_pass=jnp.int32(1)))
     return out["occluded"]
@@ -691,13 +701,17 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     tlo = jnp.where(unresolved, spill_e, tmin)
 
     # ---- restart passes: compacted unresolved set, width-bucketed ----
-    # With k_first < k_pairs the unresolved tail is a sizable fraction
-    # (rank-phasing), so restarts dispatch to the smallest of two width
-    # buckets (R/16, R/4) covering the unresolved count.
+    # The tail is LONG-tailed: a handful of heavy-overlap rays keep the
+    # while_loop alive to max_passes, and every iteration used to run at
+    # a fixed R/16 bucket (~7ms each at frame width — the largest single
+    # bounce term on the round-3 xplane profile, ~22ms/dispatch). The
+    # ladder lets late passes run at tail-sized widths; with rank-phasing
+    # (k_first < k_pairs) pass 2 carries a sizable fraction, so an R/4
+    # bucket is added.
     r_pad = -(-R // SP) * SP
     width_buckets = sorted({min(r_pad, max(SP, (-(-R // dv // SP)) * SP))
-                            for dv in ((16, 4) if k_first < k_pairs
-                                       else (16,))})
+                            for dv in ((64, 16, 4) if k_first < k_pairs
+                                       else (64, 16))})
     iota_r = jnp.arange(R, dtype=jnp.int32)
 
     def sub_body(st, Rs):
