@@ -25,13 +25,23 @@ NORTH_STAR_MRAYS = 150.0
 
 
 def run_config(renderer, frames, key0=1):
-    renderer.render_frame(jax.random.PRNGKey(0))      # warm-up compile
-    jax.block_until_ready(renderer.frame_buffer)
-    rays = 0
+    # Warm-up: compile, then a VALUE readback (block_until_ready returns
+    # early through the axon relay; only readbacks sync).
+    s0 = renderer.render_frame(jax.random.PRNGKey(0))
+    int(s0.rays_traced)
+    # Timed frames are serialized on device by the framebuffer dependency;
+    # the ray counter accumulates device-side and is read back ONCE, so
+    # the tunnel round-trip (~30 ms on remote-tunnel hosts, ~0 on a
+    # direct-attached chip) is paid per RUN, not per frame — the metric
+    # is steady-state tracing throughput, as in the reference
+    # (main.cpp:215-231 wall-clock over presented frames).
     t0 = time.perf_counter()
+    total = None
     for i in range(frames):
         stats = renderer.render_frame(jax.random.PRNGKey(key0 + i))
-        rays += int(stats.rays_traced)                # value sync per frame
+        t = stats.rays_traced
+        total = t if total is None else total + t     # device-side add
+    rays = int(total)                                 # one value sync
     dt = time.perf_counter() - t0
     return rays / dt / 1e6, dt / frames * 1e3, rays
 

@@ -403,8 +403,13 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     # anywhere (element-bound, measured ~10x a row gather).
     # min_stage_width floors the shrink ladder (tests force/disable the
     # shrink with it; shrink and no-shrink paths must agree bitwise).
+    # At most max_depth stages can ever hold live lanes (bounce b runs
+    # in stage <= b), so cap the ladder there: an uncapped ladder runs
+    # its tail shrinks on an all-dead pool — pure gather waste (~6-9 ms
+    # at depth 2, measured round 3 via tools/profile_xplane_frame.py).
     stage_widths = [N]
-    while stage_widths[-1] // 4 >= min_stage_width:
+    while (len(stage_widths) < max_depth
+           and stage_widths[-1] // 4 >= min_stage_width):
         stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
 
     def run_stage(st, width, next_width):
