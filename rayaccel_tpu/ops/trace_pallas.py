@@ -54,19 +54,23 @@ from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 # host sync). Beyond the largest bucket, each tile's FARTHEST clusters are
 # dropped and counted.
 CAP_BUCKETS = (8, 16, 64)
-K_PER_STEP = int(__import__("os").environ.get("RACC_K_STEP", "4"))
+# Default clusters per grid step (K=8 measured 4.22 vs 3.47 ms for K=4 on
+# the trimmed kernel, docs/PERF_NOTES.md); override via the ``k_step``
+# argument / Configuration.pallas_k_step — not env vars.
+K_PER_STEP = 4
 OUT_COLS = 8            # [packed score | slot bits | pad...]
 _COL_BITS = 7           # candidate column rides in the score's low mantissa
 _SIGN = -2147483648     # 0x80000000 as a Python int
 
 
-def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
+def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
+            k_step=K_PER_STEP):
     # TRANSPOSED layout: rays ride the 128-lane minor axis everywhere —
     # F (16, tile), G (4C, 16), out (OUT_COLS, tile) — so blocks are
     # lane-aligned and the candidate min reduces over sublanes (the
     # lane-crossing variant measured ~10% of whole-frame time; see
     # docs/PERF_NOTES.md and the select kernel's identical fix).
-    K = K_PER_STEP
+    K = k_step
     G_refs = refs[:K]
     out_ref, worst_ref = refs[K], refs[K + 1]
     C = G_refs[0].shape[1] // 4
@@ -160,14 +164,15 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
         worst_ref[0] = jnp.max(best_i)
 
 
-def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile):
+def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
+                    k_step=K_PER_STEP):
     """Dense cull + front-to-back per-tile work queue (shared by the
     closest-hit and occlusion kernels). Returns (items, entries, n_items,
     overflow): packed ``tile<<16 | cluster`` ids, tile-major, per-tile
-    runs padded to K_PER_STEP, every tile guaranteed >= 1 item."""
+    runs padded to ``k_step``, every tile guaranteed >= 1 item."""
     R = T * tile
     n_c = cs.n_clusters
-    K = K_PER_STEP
+    K = k_step
 
     t0 = jnp.broadcast_to(tmin[:, None], (R, n_c))
     t1 = jnp.broadcast_to(tmax_eff[:, None], (R, n_c))
@@ -226,11 +231,12 @@ def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile):
     return items, entries, n_items, overflow
 
 
-def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
+def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
+                 k_step=K_PER_STEP):
     """Any-hit work-queue kernel: per-lane occluded flags, whole-tile
     early-out once every lane is occluded (the any-hit analog of the
     traversal kernel's early-exit semantics, Kernels.h:190-210)."""
-    K = K_PER_STEP
+    K = k_step
     G_refs = refs[:K]
     out_ref, done_ref = refs[K], refs[K + 1]
     C = G_refs[0].shape[1] // 4
@@ -276,9 +282,10 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision):
         done_ref[0] = jnp.all(occ).astype(jnp.int32)
 
 
-def _make_occl_call(cap, T, tile, C, precision, interpret):
-    K = K_PER_STEP
-    kern = partial(_occl_kernel, precision=precision)
+def _make_occl_call(cap, T, tile, C, precision, interpret,
+                    k_step=K_PER_STEP):
+    K = k_step
+    kern = partial(_occl_kernel, precision=precision, k_step=k_step)
 
     def g_spec(k):
         return pl.BlockSpec(
@@ -311,12 +318,14 @@ def _make_occl_call(cap, T, tile, C, precision, interpret):
     return call
 
 
-@partial(jax.jit, static_argnames=("tile", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "precision", "interpret",
+                                   "k_step"))
 def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
                            active: jnp.ndarray | None = None,
                            tile: int = 512,
-                           precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           precision: str = "highest",
+                           interpret: bool | None = None,
+                           k_step: int = K_PER_STEP) -> jnp.ndarray:
     """Any-hit occlusion query on the Pallas work-queue engine: True where
     some triangle blocks the ray within [tmin, tmax]. Cheaper than the
     closest-hit kernel: no winner tracking or reconstruction, and a tile
@@ -340,23 +349,24 @@ def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
     items, entries, n_items, _ = _cull_and_queue(
-        cs, o, inv_d, tmin, tmax_eff, T, tile)
+        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step)
 
     F = _ray_features(o, d)
     F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
-    calls = [_make_occl_call(T * b, T, tile, C, prec, interpret)
+    calls = [_make_occl_call(T * b, T, tile, C, prec, interpret,
+                             k_step=k_step)
              for b in CAP_BUCKETS]
     branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
     return out[:, 0, :].reshape(R) > 0
 
 
-def _make_call(cap, T, tile, C, precision, interpret):
-    K = K_PER_STEP
-    kern = partial(_kernel, precision=precision)
+def _make_call(cap, T, tile, C, precision, interpret, k_step=K_PER_STEP):
+    K = k_step
+    kern = partial(_kernel, precision=precision, k_step=k_step)
 
     def g_spec(k):
         return pl.BlockSpec(
@@ -389,12 +399,14 @@ def _make_call(cap, T, tile, C, precision, interpret):
     return call
 
 
-@partial(jax.jit, static_argnames=("tile", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "precision", "interpret",
+                                   "k_step"))
 def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
                      env: Environment | None = None,
                      active: jnp.ndarray | None = None, tile: int = 512,
-                     precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
-                     interpret: bool | None = None):
+                     precision: str = "highest",
+                     interpret: bool | None = None,
+                     k_step: int = K_PER_STEP):
     """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)."""
     if interpret is None:  # Mosaic requires hardware; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
@@ -406,7 +418,6 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     T = R // tile
     C = cs.cluster_size
     n_c = cs.n_clusters
-    K = K_PER_STEP
 
     o = tuple(rays.o[:, a] for a in range(3))
     inv3 = safe_inv_dir(rays.d)
@@ -417,7 +428,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
 
     # ---- dense cull + front-to-back per-tile work queue ----
     items, entries, n_items, overflow = _cull_and_queue(
-        cs, o, inv_d, tmin, tmax_eff, T, tile)
+        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step)
 
     # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)
@@ -425,7 +436,7 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
-    calls = [_make_call(T * b, T, tile, C, prec, interpret)
+    calls = [_make_call(T * b, T, tile, C, prec, interpret, k_step=k_step)
              for b in CAP_BUCKETS]
     branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)

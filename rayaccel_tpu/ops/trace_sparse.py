@@ -504,9 +504,9 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
                            active: jnp.ndarray | None = None,
                            k_pairs: int = 4, pair_budget: int = 3,
                            sp_tile: int = 1024,
-                           precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
+                           precision: str = "highest",
                            interpret: bool | None = None,
-                           max_passes: int = 4) -> jnp.ndarray:
+                           max_passes: int = 4):
     """Any-hit occlusion query on the pair-centric sparse engine: True
     where some triangle blocks the ray in [tmin, tmax]. The engine that
     serves scattered rays (bounce-shade shadows) previously had no
@@ -517,8 +517,14 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
     Reuses the spill-exact multipass pass: a ray is occluded as soon as
     any tested pair hits; rays with no hit among the nearest-K clusters
     and a valid spill restart with the window advanced (no t-shrink —
-    occlusion never narrows tmax). Rays still unresolved at
-    ``max_passes`` are conservatively reported unoccluded."""
+    occlusion never narrows tmax).
+
+    Returns ``(occluded, under_resolved)``: rays still unresolved at
+    ``max_passes`` are reported unoccluded (the bright-leak direction —
+    the reference's any-hit is exact, Kernels.h:190-210) and COUNTED,
+    together with truncated pairs, in the ``under_resolved`` int32 so
+    callers can surface a potential shadow light-leak instead of hiding
+    it (VERDICT r3 weak #4)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
@@ -543,7 +549,7 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
     def decode_spill(s):
         return jax.lax.bitcast_convert_type(s & spill_clear, jnp.float32)
 
-    best, _slot, spill, _tr = _sparse_pass(
+    best, _slot, spill, trunc0 = _sparse_pass(
         cs, o, d, inv_d, tmin, tmax0, K, SP, pair_budget, prec, interpret)
     occluded = best < _MISS_BITS
     unresolved = ((tmax0 > 0) & ~occluded & (spill < _INF_PACK)
@@ -573,7 +579,7 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
         prev_s = jnp.take(st["prev"], idx)
         tmax_s = jnp.where(valid, jnp.take(tmax0, idx), -1.0)
 
-        bp, _sp, spill_s, _tr = _sparse_pass(
+        bp, _sp, spill_s, tr_s = _sparse_pass(
             cs, tuple(o_s[:, a] for a in range(3)),
             tuple(d_s[:, a] for a in range(3)),
             tuple(inv_s[:, a] for a in range(3)),
@@ -592,6 +598,7 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
             prev=st["prev"].at[sidx].set(spill_s, mode="drop"),
             unresolved=st["unresolved"].at[sidx].set(unres_s, mode="drop"),
             n_pass=st["n_pass"] + 1,
+            trunc=st["trunc"] + tr_s,
         )
 
     def restart_body(st):
@@ -606,13 +613,10 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
         lambda st: jnp.any(st["unresolved"]) & (st["n_pass"] < max_passes),
         restart_body,
         dict(occluded=occluded, tlo=tlo, prev=spill, unresolved=unresolved,
-             n_pass=jnp.int32(1)))
-    return out["occluded"]
-
-
-def _env_int(name):
-    v = __import__("os").environ.get(name)
-    return None if v in (None, "", "none") else int(v)
+             n_pass=jnp.int32(1), trunc=trunc0))
+    under_resolved = (jnp.sum(out["unresolved"].astype(jnp.int32))
+                      + out["trunc"])
+    return out["occluded"], under_resolved
 
 
 @partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
@@ -621,13 +625,13 @@ def _env_int(name):
 def trace_sparse(cs: ClusterScene, rays: Rays,
                  env: Environment | None = None,
                  active: jnp.ndarray | None = None,
-                 k_pairs: int = _env_int("RACC_K_PAIRS") or 4,
-                 pair_budget: int = _env_int("RACC_PAIR_BUDGET") or 3,
-                 sp_tile: int = _env_int("RACC_SP_TILE") or 1024,
-                 precision: str = __import__("os").environ.get("RACC_PRECISION", "highest"),
+                 k_pairs: int = 4,
+                 pair_budget: int = 3,
+                 sp_tile: int = 1024,
+                 precision: str = "highest",
                  interpret: bool | None = None,
                  max_passes: int = 4,
-                 k_first: int | None = _env_int("RACC_K_FIRST")):
+                 k_first: int | None = None):
     """Pair-centric trace, spill-exact multipass. Returns (MxuHits,
     overflow).
 

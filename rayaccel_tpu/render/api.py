@@ -25,13 +25,23 @@ def render(context: Context, scene, environment, renderer,
 
     The compiled frame fn closes over the scene/environment arrays, so an
     override must drop the ``_frame_fn`` cache (render/tiled.py:148) —
-    the next frame rebuilds the closure around the new bindings."""
+    the next frame rebuilds the closure around the new bindings.
+
+    Identity is checked against the RAW bound objects (``_bound_scene``/
+    ``_bound_env``), not ``renderer.scene`` — with a mesh context the
+    latter is the replicated tree, so comparing against it would
+    re-replicate and recompile on EVERY re-publish of the same scene
+    (ADVICE r3: a full XLA recompile per frame)."""
     rebind = False
-    if scene is not None and scene is not renderer.scene:
+    if scene is not None and scene is not getattr(renderer, "_bound_scene",
+                                                  renderer.scene):
         renderer.scene = scene
+        renderer._bound_scene = scene
         rebind = True
-    if environment is not None and environment is not renderer.environment:
+    if environment is not None and environment is not getattr(
+            renderer, "_bound_env", renderer.environment):
         renderer.environment = environment
+        renderer._bound_env = environment
         rebind = True
     if rebind:
         if context.mesh is not None:

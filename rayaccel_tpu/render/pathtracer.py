@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.config import EngineOpts
 from rayaccel_tpu.context import Context
 from rayaccel_tpu.environment import (Environment, create_environment,
                                       sample_environment_onehot)
@@ -51,11 +52,28 @@ from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import Hits, INVALID_TRIANGLE, Rays
 
 
-def pt_shade(surf, rays, weight, key):
+def _lane_uniform(key, lane):
+    """Per-lane (3,) uniforms keyed by LANE ID, not array position: a
+    lane's draws are invariant under every state reordering (regroup,
+    staged width shrink, cross-chip re-sharding), so images are bitwise
+    reproducible across lane placements. One extra threefry pass per
+    bounce vs positional draws (jax.random.uniform already pays one)."""
+    mixed = jax.vmap(lambda l: jax.random.fold_in(key, l))(lane)
+    return jax.vmap(lambda k: jax.random.uniform(k, (3,), jnp.float32))(
+        mixed)
+
+
+def pt_shade(surf, rays, weight, key, lane=None):
     """One shading step given a surface frame: the vectorized analog of
     PathTracingRenderer::shade's active path
-    (PathTracingRenderer.cpp:133-463). Returns (new_rays, new_weight, ok)."""
-    rnd = jax.random.uniform(key, (rays.o.shape[0], 3), jnp.float32)
+    (PathTracingRenderer.cpp:133-463). Returns (new_rays, new_weight, ok).
+
+    With ``lane``, BSDF random draws are keyed per lane id (placement-
+    invariant — see _lane_uniform); otherwise positional."""
+    if lane is not None:
+        rnd = _lane_uniform(key, lane)
+    else:
+        rnd = jax.random.uniform(key, (rays.o.shape[0], 3), jnp.float32)
     wo = -rays.d
     wi, color, transmitted = sample_reflective_diffuse(
         surf.mat_params, rnd, surf.ns, wo)
@@ -65,7 +83,8 @@ def pt_shade(surf, rays, weight, key):
     return new_rays, new_weight, ok
 
 
-def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth):
+def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth,
+                       opts=EngineOpts()):
     """Dispatch one closest-hit trace + shading-frame build to engine
     ``bk``. Returns (hits, surf, overflow)."""
     if bk == "xla":
@@ -76,9 +95,15 @@ def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth):
         return hits, surf, jnp.int32(0)
     if bk == "pallas":
         res, overflow = trace_mxu_pallas(scene, rays, env=None,
-                                         active=alive, tile=tile)
+                                         active=alive, tile=tile,
+                                         precision=opts.precision,
+                                         k_step=opts.k_step)
     elif bk == "sparse":
-        res, overflow = trace_sparse(scene, rays, env=None, active=alive)
+        res, overflow = trace_sparse(
+            scene, rays, env=None, active=alive,
+            k_pairs=opts.k_pairs, pair_budget=opts.pair_budget,
+            sp_tile=opts.sp_tile, precision=opts.precision,
+            max_passes=opts.max_passes, k_first=opts.k_first)
     else:
         res = trace_mxu(scene, rays, env=None, active=alive, tile=tile)
         overflow = jnp.int32(0)
@@ -87,11 +112,12 @@ def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth):
 
 
 def _shade_advance(hits, surf, rays, weight, depth, alive, miss_d, miss_w,
-                   skey, max_depth):
+                   skey, max_depth, lane=None):
     """Post-trace lane-state advance shared by the per-wave and pooled
     paths: terminal-miss capture, depth budgeting
     (PathTracingRenderer.cpp:120-121), BSDF sample + continuation spawn.
-    Returns (rays, weight, depth, alive, miss_d, miss_w)."""
+    Returns (rays, weight, depth, alive, miss_d, miss_w). ``lane`` keys
+    the BSDF draws per lane id (placement-invariant, see _lane_uniform)."""
     # Terminal miss: remember direction+weight; the env probe lookup is
     # deferred out of the loop (one sample per path, total).
     miss = alive & (hits.tri == INVALID_TRIANGLE)
@@ -99,7 +125,7 @@ def _shade_advance(hits, surf, rays, weight, depth, alive, miss_d, miss_w,
     miss_w = jnp.where(miss[:, None], weight, miss_w)
 
     active = alive & (hits.tri >= 0) & (depth < max_depth)
-    new_rays, new_weight, ok = pt_shade(surf, rays, weight, skey)
+    new_rays, new_weight, ok = pt_shade(surf, rays, weight, skey, lane)
     alive2 = active & ok
     rays2 = merge_rays(alive2, new_rays, rays)
     weight2 = jnp.where(alive2[:, None], new_weight, weight)
@@ -136,7 +162,7 @@ def _primary_rays(cam_arrays, x, y, wave_key, sampler, spp_index,
 
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
                                    "stack_depth", "regroup", "sampler",
-                                   "bounce_backend"))
+                                   "bounce_backend", "opts"))
 def pt_trace_wave(scene, env: Environment, cam_arrays,
                   x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                   key: jax.Array, max_depth: int, backend: str = "mxu",
@@ -144,7 +170,8 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
                   regroup: bool = True, sampler: str = "uniform",
                   spp_index: jnp.ndarray | None = None,
                   sampler_key: jax.Array | None = None,
-                  bounce_backend: str | None = None):
+                  bounce_backend: str | None = None,
+                  opts: EngineOpts = EngineOpts()):
     """Trace one wave of pixels to completion (all bounces).
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -188,7 +215,8 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     )
 
     def trace_and_surface(rays, alive, bk):
-        return _trace_and_surface(scene, rays, alive, bk, tile, stack_depth)
+        return _trace_and_surface(scene, rays, alive, bk, tile, stack_depth,
+                                  opts)
 
     # Live-prefix buckets: regrouping compacts live lanes to the front of
     # the wave, so a bounce trace only needs the smallest power-of-two
@@ -240,7 +268,7 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
         skey = jax.random.fold_in(key, s["bounce"] + 1)
         rays, weight, depth, alive, miss_d, miss_w = _shade_advance(
             hits, surf, rays, s["weight"], s["depth"], alive,
-            s["miss_d"], s["miss_w"], skey, max_depth)
+            s["miss_d"], s["miss_w"], skey, max_depth, lane=s["lane"])
         lane = s["lane"]
 
         if do_regroup:
@@ -280,9 +308,69 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
     return radiance, out["traced"], out["dropped"]
 
 
+def _reshard_balance(st, axis, D):
+    """Cross-chip bounce load balance (SURVEY §2d; the reference's work
+    stealing, RayAccelerator.cpp:215-244, 360-363): when per-shard live
+    counts diverge (sky shards die early, geometry shards keep bouncing),
+    stripe each shard's live-first-sorted pool round-robin over the mesh
+    and all_to_all the slices, so every shard ends within ~D lanes of the
+    mean live count. Gated on measured imbalance — the full-width state
+    move costs a frame-scale row gather, so near-balanced frames skip it.
+
+    Lane ids are GLOBAL (shard * N + local), so the radiance pieces are
+    routed home with the inverse exchange at reassembly, and the
+    lane-keyed bounce RNG (_lane_uniform) makes the image BITWISE
+    invariant to the re-sharding. Returns (state, resharded?)."""
+    N = st["lane"].shape[0]
+    assert N % D == 0, f"per-shard pool {N} not divisible by mesh {D}"
+    Ns = N // D
+    n_live = jnp.sum(st["alive"].astype(jnp.int32))
+    counts = jax.lax.all_gather(n_live, axis)
+    total = jnp.sum(counts)
+    # Rebalance when the worst shard exceeds the mean by >25% (+ slack
+    # so tiny pools never pay the exchange).
+    need = jnp.max(counts) * D > total + total // 4 + D * 256
+
+    def do(st):
+        iota = jnp.arange(N, dtype=jnp.int32)
+        perm = jax.lax.sort(
+            (jnp.where(st["alive"], iota, jnp.int32(0x7FFFFFFF)), iota),
+            num_keys=1)[1]
+        # Stripe: live-rank k lands at slice (k % D), offset (k // D);
+        # position j = s*Ns + t therefore takes sorted rank t*D + s.
+        src_rank = (iota % Ns) * D + iota // Ns
+        take = jnp.take(perm, src_rank)
+        r = st["rays"]
+        S = jnp.concatenate([
+            r.o, r.d, r.tmin[:, None], r.tmax[:, None], st["weight"],
+            st["miss_d"], st["miss_w"],
+            st["depth"].astype(jnp.float32)[:, None],
+            st["alive"].astype(jnp.float32)[:, None]], axis=1)
+        S = jnp.take(S, take, axis=0)
+        lane_t = jnp.take(st["lane"], take)
+        S = jax.lax.all_to_all(S, axis, split_axis=0, concat_axis=0,
+                               tiled=True)
+        lane_t = jax.lax.all_to_all(lane_t, axis, split_axis=0,
+                                    concat_axis=0, tiled=True)
+        return dict(
+            st,
+            rays=Rays(S[:, 0:3], S[:, 3:6], S[:, 6], S[:, 7]),
+            weight=S[:, 8:11], miss_d=S[:, 11:14], miss_w=S[:, 14:17],
+            depth=S[:, 17].astype(jnp.int32), alive=S[:, 18] > 0,
+            lane=lane_t)
+
+    # Both branches execute the same collectives when taken; `need` is
+    # replicated (derived from the all_gather), so every shard picks the
+    # same branch.
+    st = jax.lax.cond(need, do, lambda s: s, st)
+    return st, need
+
+
 @partial(jax.jit, static_argnames=("max_depth", "backend", "tile",
                                    "stack_depth", "sampler",
-                                   "bounce_backend", "min_stage_width"))
+                                   "bounce_backend", "min_stage_width",
+                                   "opts", "mesh_axis", "n_shards",
+                                   "reshard"))
 def pt_trace_frame(scene, env: Environment, cam_arrays,
                    xs: jnp.ndarray, ys: jnp.ndarray, alives: jnp.ndarray,
                    key: jax.Array, max_depth: int, backend: str = "mxu",
@@ -291,7 +379,11 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
                    spp_index: jnp.ndarray | None = None,
                    sampler_key: jax.Array | None = None,
                    bounce_backend: str = "sparse",
-                   min_stage_width: int = 8192):
+                   min_stage_width: int = 8192,
+                   opts: EngineOpts = EngineOpts(),
+                   mesh_axis: str | None = None,
+                   n_shards: int = 1,
+                   reshard: bool = True):
     """Frame-pooled wavefront: trace a whole frame with ONE bounce loop.
 
     The per-wave structure (pt_trace_wave under a scan) pays every bounce
@@ -317,17 +409,29 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     """
     W, R = xs.shape
     N = W * R
-    # Lane ids ride the reassembly sort as float32 payloads (stage 3);
-    # float32 is exact only below 2^24, so larger pools would silently
-    # scramble the framebuffer. 16.7M lanes/shard covers 4K frames.
-    assert N < (1 << 24), f"frame pool {N} lanes >= 2^24: lane ids lose " \
-                          "precision in the float32 reassembly sort"
+    # Lane ids are GLOBAL across the mesh (shard * N + local) and ride
+    # the reassembly sort as float32 payloads (stage 3); float32 is exact
+    # only below 2^24, so larger pools would silently scramble the
+    # framebuffer. 2^24 covers a 4K frame on an 8-chip mesh.
+    assert N * n_shards < (1 << 24), \
+        f"frame pool {N} x {n_shards} shards >= 2^24: lane ids lose " \
+        "precision in the float32 reassembly sort"
+    if mesh_axis is not None:
+        shard = jax.lax.axis_index(mesh_axis)
+        # Positional stage-1 draws (camera jitter) decorrelate per shard;
+        # the pooled bounce draws below stay keyed on the RAW frame key +
+        # global lane id, so they are placement-invariant across shards.
+        wave_key_base = jax.random.fold_in(key, shard)
+        lane0 = jnp.arange(N, dtype=jnp.int32) + shard * N
+    else:
+        wave_key_base = key
+        lane0 = jnp.arange(N, dtype=jnp.int32)
 
     # ---- stage 1: primary trace + first shade, wave by wave ----
     def prim_step(carry, inputs):
         traced, w = carry
         x, y, alive0 = inputs
-        wkey = jax.random.fold_in(key, w)
+        wkey = jax.random.fold_in(wave_key_base, w)
         rays = _primary_rays(cam_arrays, x, y, wkey, sampler, spp_index,
                              sampler_key)
         zero3 = jnp.zeros((R, 3), jnp.float32)
@@ -336,7 +440,8 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
 
         def live(_):
             hits, surf, ov = _trace_and_surface(scene, rays, alive0,
-                                                backend, tile, stack_depth)
+                                                backend, tile, stack_depth,
+                                                opts)
             out = _shade_advance(hits, surf, rays, ones3, depth0, alive0,
                                  rays.d, zero3,
                                  jax.random.fold_in(wkey, 1), max_depth)
@@ -371,20 +476,27 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
                   flat(rays_s.tmax)),
         weight=flat(weight_s), depth=flat(depth_s), alive=flat(alive_s),
         miss_d=flat(miss_d_s), miss_w=flat(miss_w_s),
-        lane=jnp.arange(N, dtype=jnp.int32),
+        lane=lane0,
         traced=traced0, dropped=jnp.sum(ov_s), bounce=jnp.int32(0),
     )
+
+    # Cross-chip bounce balance: sky shards die after stage 1 while
+    # geometry shards keep their whole pool alive; exchange once, before
+    # the bounce loop, when the measured imbalance pays for the move.
+    do_reshard = mesh_axis is not None and n_shards > 1 and reshard
+    if do_reshard:
+        state, resharded = _reshard_balance(state, mesh_axis, n_shards)
 
     def bounce_body(st):
         n_live = jnp.sum(st["alive"].astype(jnp.int32))
         hits, surf, ov = _trace_and_surface(scene, st["rays"], st["alive"],
                                             bounce_backend, tile,
-                                            stack_depth)
+                                            stack_depth, opts)
         skey = jax.random.fold_in(key, 4096 + st["bounce"])
         rays2, weight2, depth2, alive2, miss_d2, miss_w2 = \
             _shade_advance(hits, surf, st["rays"], st["weight"],
                            st["depth"], st["alive"], st["miss_d"],
-                           st["miss_w"], skey, max_depth)
+                           st["miss_w"], skey, max_depth, lane=st["lane"])
         return dict(
             rays=rays2, weight=weight2, depth=depth2, alive=alive2,
             miss_d=miss_d2, miss_w=miss_w2, lane=st["lane"],
@@ -470,9 +582,26 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
     env_rgb = sample_environment_onehot(env, allp[:, 1:4])
     radiance = allp[:, 4:7] * env_rgb
-    if len(pieces) > 1:
+    lane_f = allp[:, 0]
+    if do_reshard:
+        # Route exchanged lanes home: after a global-lane sort, the rows
+        # from home shard i are exactly the Ns-row slice i (the outbound
+        # stripe sent exactly N/D lanes to each shard, dead or alive), so
+        # one tiled all_to_all returns every lane to its producer.
+        def route(rows):
+            ls, r0, r1, r2 = jax.lax.sort(
+                (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]),
+                num_keys=1)
+            rows = jnp.stack([ls, r0, r1, r2], axis=1)
+            return jax.lax.all_to_all(rows, mesh_axis, split_axis=0,
+                                      concat_axis=0, tiled=True)
+
+        rows = jnp.concatenate([lane_f[:, None], radiance], axis=1)
+        rows = jax.lax.cond(resharded, route, lambda r: r, rows)
+        lane_f, radiance = rows[:, 0], rows[:, 1:4]
+    if len(pieces) > 1 or do_reshard:
         _, r0, r1, r2 = jax.lax.sort(
-            (allp[:, 0], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+            (lane_f, radiance[:, 0], radiance[:, 1], radiance[:, 2]),
             num_keys=1)
         radiance = jnp.stack([r0, r1, r2], axis=1)
     rad = radiance.reshape(W, R, 3)
@@ -513,6 +642,12 @@ class PathTracingRenderer(TiledRenderer):
             assert env_px is not None, "scene has no environment probe"
             environment = create_environment(env_px, env_px.shape[1], env_px.shape[0])
         self.environment = environment
+        # Raw (pre-replication) bindings: render/api.py's rebind check
+        # compares against these, so re-passing the same scene object
+        # every frame (the reference re-publish pattern,
+        # RayAccelerator.cpp:741-746) never drops the compiled frame fn.
+        self._bound_scene = self.scene
+        self._bound_env = self.environment
         self.max_depth = int(scene_data.max_depth)
         self.sampler = context.configuration.sampler
         self._sampler_key = jax.random.PRNGKey(0x5EED)
@@ -539,6 +674,11 @@ class PathTracingRenderer(TiledRenderer):
         trace_block = cfg.trace_block
         sampler = self.sampler
         sampler_key = self._sampler_key
+        opts = cfg.engine_opts()
+        mesh = self.context.mesh
+        mesh_axis = "tiles" if mesh is not None else None
+        n_shards = mesh.devices.size if mesh is not None else 1
+        reshard = cfg.reshard_bounces
 
         def frame_body(fb3, xs, ys, alives, key, spp, cam_arrays):
             tile = min(trace_block, xs.shape[1])
@@ -546,7 +686,8 @@ class PathTracingRenderer(TiledRenderer):
                 scene, env, cam_arrays, xs, ys, alives, key, max_depth,
                 backend=backend, tile=tile, stack_depth=stack_depth,
                 sampler=sampler, spp_index=spp, sampler_key=sampler_key,
-                bounce_backend=bounce_backend)
+                bounce_backend=bounce_backend, opts=opts,
+                mesh_axis=mesh_axis, n_shards=n_shards, reshard=reshard)
             return fb3 + rad, traced, dropped
 
         return frame_body
@@ -565,6 +706,7 @@ class PathTracingRenderer(TiledRenderer):
         sampler = self.sampler
         sampler_key = self._sampler_key
         bounce_backend = self.bounce_backend
+        opts = self.context.configuration.engine_opts()
 
         def wave_fn(x, y, alive, key, spp, cam_arrays):
             return pt_trace_wave(scene, env, cam_arrays, x, y, alive, key,
@@ -573,6 +715,7 @@ class PathTracingRenderer(TiledRenderer):
                                  sampler=sampler,
                                  spp_index=spp,
                                  sampler_key=sampler_key,
-                                 bounce_backend=bounce_backend)
+                                 bounce_backend=bounce_backend,
+                                 opts=opts)
 
         return wave_fn

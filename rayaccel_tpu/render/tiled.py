@@ -164,8 +164,17 @@ class TiledRenderer:
         Subclasses may override with a frame-pooled body (see
         PathTracingRenderer) that shares bounce work across waves."""
         wave_fn = self._build_wave_fn()
+        mesh = self.context.mesh
 
         def frame_body(fb3, xs, ys, alives, key, spp, *extra):
+            if mesh is not None:
+                # Per-shard sample decorrelation (the frame fn passes the
+                # RAW frame key so bodies with placement-invariant RNG —
+                # pt_trace_frame's lane-keyed bounce draws — can derive
+                # shard-independent streams; positional draws fold the
+                # shard in here instead).
+                key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
+
             def step(carry, inputs):
                 traced, dropped, w = carry
                 x, y, alive = inputs
@@ -186,8 +195,9 @@ class TiledRenderer:
         replicated via parallel.mesh.replicate_scene), the ray counters
         psum over ICI — the multi-chip analog of the reference's atomic
         tile counter feeding identical workers (TiledRenderer.cpp:55-67).
-        Each chip folds its axis index into the RNG key so samples
-        decorrelate across shards."""
+        Bodies receive the RAW frame key and fold the shard index in
+        themselves where positional draws need decorrelating (see
+        _build_frame_body); lane-keyed draws stay shard-invariant."""
         mesh = self.context.mesh
         n_extra = len(self._extra_wave_args())
         frame_body = self._build_frame_body()
@@ -203,7 +213,6 @@ class TiledRenderer:
                  out_specs=(P(None, "tiles"), P(), P()),
                  check_vma=False)  # pallas out_shapes carry no vma info
         def frame_fn(fb3, xs, ys, alives, key, spp, *extra):
-            key = jax.random.fold_in(key, jax.lax.axis_index("tiles"))
             fb3, traced, dropped = frame_body(fb3, xs, ys, alives, key, spp,
                                               *extra)
             return (fb3, jax.lax.psum(traced, "tiles"),

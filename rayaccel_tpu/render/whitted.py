@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.config import EngineOpts
 from rayaccel_tpu.context import Context
 from rayaccel_tpu.environment import Environment, create_environment
 from rayaccel_tpu.ops.trace import trace_bvh
@@ -102,27 +103,70 @@ def whitted_shade(surf, rays: Rays, weight):
     return radiance, new_weight, refl_rays, refl_ok, refr_rays, refr_ok
 
 
-def _occlusion_query(scene, srays, active, bk, tile, stack_depth):
-    """Any-hit shadow query on the engine matching ``bk``."""
+def _occlusion_query(scene, srays, active, bk, tile, stack_depth,
+                     opts=EngineOpts()):
+    """Any-hit shadow query on the engine matching ``bk``. Returns
+    (occluded, under_resolved): the count is nonzero only on the sparse
+    engine, where shadow rays unresolved at the restart-pass cap (or with
+    truncated pairs) are reported unoccluded — a potential light-leak the
+    caller must surface in its drop counter, never hide (the reference's
+    any-hit is exact, Kernels.h:190-210)."""
     if bk == "pallas":
         from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
-        return trace_occlusion_pallas(scene, srays, active=active, tile=tile)
+        occ = trace_occlusion_pallas(scene, srays, active=active, tile=tile,
+                                     precision=opts.precision,
+                                     k_step=opts.k_step)
+        return occ, jnp.int32(0)
     if bk == "sparse":
         # Scattered bounce-shade shadows stay on the engine built for
         # scattered rays (any-hit variant) instead of paying the dense
         # tile-union cost.
         from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
-        return trace_occlusion_sparse(scene, srays, active=active)
+        return trace_occlusion_sparse(
+            scene, srays, active=active, k_pairs=opts.k_pairs,
+            pair_budget=opts.pair_budget, sp_tile=opts.sp_tile,
+            precision=opts.precision, max_passes=opts.max_passes)
     if bk == "mxu":
         from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
-        return trace_occlusion_mxu(scene, srays, active=active, tile=tile)
+        occ = trace_occlusion_mxu(scene, srays, active=active, tile=tile)
+        return occ, jnp.int32(0)
     from rayaccel_tpu.ops.trace import trace_occlusion_bvh
-    return trace_occlusion_bvh(scene, srays, active=active,
-                               stack_depth=stack_depth)
+    occ = trace_occlusion_bvh(scene, srays, active=active,
+                              stack_depth=stack_depth)
+    return occ, jnp.int32(0)
+
+
+def _whitted_trace(scene, env, rays, alive, bk, tile, stack_depth, opts):
+    """Closest-hit trace + shading-frame build on engine ``bk`` (env
+    radiance folded at trace time per the Result union contract)."""
+    if bk == "xla":
+        hits = trace_bvh(scene, rays, env=env, active=alive,
+                         stack_depth=stack_depth)
+        surf = interpolate_surface(scene, rays, hits,
+                                   alive & (hits.tri >= 0))
+        return hits, surf
+    if bk == "pallas":
+        from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+        res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
+                                  tile=tile, precision=opts.precision,
+                                  k_step=opts.k_step)
+    elif bk == "sparse":
+        from rayaccel_tpu.ops.trace_sparse import trace_sparse
+        res, _ = trace_sparse(scene, rays, env=env, active=alive,
+                              k_pairs=opts.k_pairs,
+                              pair_budget=opts.pair_budget,
+                              sp_tile=opts.sp_tile,
+                              precision=opts.precision,
+                              max_passes=opts.max_passes,
+                              k_first=opts.k_first)
+    else:
+        res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
+    surf = surface_from_attrs(res.attrs, scene.mat_params, rays, res.hits)
+    return res.hits, surf
 
 
 def _whitted_step(scene, s, hits, surf, bk, tile, stack_depth, max_depth,
-                  stack_size, shadows, primary_only):
+                  stack_size, shadows, primary_only, opts=EngineOpts()):
     """Post-trace lane-state advance shared by the per-wave and pooled
     frame paths: env on miss, direct light (+ optional shadow query),
     reflection/refraction spawn, refraction parking, and terminated-head
@@ -165,10 +209,13 @@ def _whitted_step(scene, s, hits, surf, bk, tile, stack_depth, max_depth,
                      d=jnp.broadcast_to(light[None, :], spos.shape) + spos * 0.0,
                      tmin=SECONDARY_TMIN + spos[:, 0] * 0.0,
                      tmax=SECONDARY_TMAX + spos[:, 0] * 0.0)
-        occluded = _occlusion_query(scene, srays, active, bk, tile,
-                                    stack_depth)
+        occluded, under_res = _occlusion_query(scene, srays, active, bk,
+                                               tile, stack_depth, opts)
         traced = traced + jnp.sum(active.astype(jnp.int32))
         direct = jnp.where(occluded[:, None], 0.0, direct)
+        # Under-resolved shadow queries surface in the drop counter
+        # (VERDICT r3 weak #4: no silent light-leak path).
+        s = dict(s, dropped=s["dropped"] + under_res)
     radiance = radiance + jnp.where(active[:, None], direct, 0.0)
 
     # Continuation selection (WhittedRenderer.cpp:535-565): reflection
@@ -217,14 +264,15 @@ def _whitted_step(scene, s, hits, surf, bk, tile, stack_depth, max_depth,
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
                                    "tile", "stack_depth", "shadows",
                                    "bounce_backend", "primary_only",
-                                   "regroup"))
+                                   "regroup", "opts"))
 def whitted_trace_wave(scene, env: Environment, cam_arrays,
                        x: jnp.ndarray, y: jnp.ndarray, alive0: jnp.ndarray,
                        key: jax.Array, max_depth: int, stack_size: int = 9,
                        backend: str = "mxu", tile: int = 512,
                        stack_depth: int = 48, shadows: bool = False,
                        bounce_backend: str | None = None,
-                       primary_only: bool = False, regroup: bool = True):
+                       primary_only: bool = False, regroup: bool = True,
+                       opts: EngineOpts = EngineOpts()):
     """Trace one wave of pixels through their full Whitted ray trees.
 
     Returns (radiance, rays_traced, dropped): per-lane accumulated
@@ -252,24 +300,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
             jnp.max(scene.cl_bbmax, axis=0) - bmin, 1e-20)
 
     def trace_and_surface(rays, alive, bk):
-        if bk == "xla":
-            hits = trace_bvh(scene, rays, env=env, active=alive,
-                             stack_depth=stack_depth)
-            surf = interpolate_surface(scene, rays, hits,
-                                       alive & (hits.tri >= 0))
-            return hits, surf
-        if bk == "pallas":
-            from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
-            res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
-                                      tile=tile)
-        elif bk == "sparse":
-            from rayaccel_tpu.ops.trace_sparse import trace_sparse
-            res, _ = trace_sparse(scene, rays, env=env, active=alive)
-        else:
-            res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
-        surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                  res.hits)
-        return res.hits, surf
+        return _whitted_trace(scene, env, rays, alive, bk, tile,
+                              stack_depth, opts)
 
     # Carry inits derive from ray/pixel inputs (shard_map varying-axes).
     zf = rays.tmax * 0.0
@@ -331,7 +363,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
         else:
             hits, surf = trace_and_surface(rays, alive, bk)
         s = _whitted_step(scene, s, hits, surf, bk, tile, stack_depth,
-                          max_depth, stack_size, shadows, primary_only)
+                          max_depth, stack_size, shadows, primary_only,
+                          opts)
         out_rays, out_w, out_depth, alive_next = (
             s["rays"], s["weight"], s["depth"], s["alive"])
         sp, stk, stk_w, radiance, lane = (s["sp"], s["stk"], s["stk_w"],
@@ -375,7 +408,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
 
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
                                    "tile", "stack_depth", "shadows",
-                                   "bounce_backend", "min_stage_width"))
+                                   "bounce_backend", "min_stage_width",
+                                   "opts", "mesh_axis"))
 def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         xs: jnp.ndarray, ys: jnp.ndarray,
                         alives: jnp.ndarray, key: jax.Array,
@@ -383,7 +417,9 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         backend: str = "mxu", tile: int = 512,
                         stack_depth: int = 48, shadows: bool = False,
                         bounce_backend: str = "sparse",
-                        min_stage_width: int = 8192):
+                        min_stage_width: int = 8192,
+                        opts: EngineOpts = EngineOpts(),
+                        mesh_axis: str | None = None):
     """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
     bounce loop (the pt_trace_frame pattern applied to the parked-stack
     state). The reference analog is the frame-global loopData pool sized
@@ -404,26 +440,15 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
     N = W * R
     assert N < (1 << 24), "lane ids ride a float32 reassembly sort"
     S = stack_size
+    if mesh_axis is not None:
+        # Per-shard jitter decorrelation (the frame fn passes the raw
+        # frame key; Whitted shading is deterministic, so only the
+        # primary camera jitter consumes randomness).
+        key = jax.random.fold_in(key, jax.lax.axis_index(mesh_axis))
 
     def trace_and_surface(rays, alive, bk):
-        if bk == "xla":
-            hits = trace_bvh(scene, rays, env=env, active=alive,
-                             stack_depth=stack_depth)
-            surf = interpolate_surface(scene, rays, hits,
-                                       alive & (hits.tri >= 0))
-            return hits, surf
-        if bk == "pallas":
-            from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
-            res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
-                                      tile=tile)
-        elif bk == "sparse":
-            from rayaccel_tpu.ops.trace_sparse import trace_sparse
-            res, _ = trace_sparse(scene, rays, env=env, active=alive)
-        else:
-            res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
-        surf = surface_from_attrs(res.attrs, scene.mat_params, rays,
-                                  res.hits)
-        return res.hits, surf
+        return _whitted_trace(scene, env, rays, alive, bk, tile,
+                              stack_depth, opts)
 
     # ---- stage 1: primary trace + first shade/park, wave by wave ----
     def prim_step(carry, inputs):
@@ -446,7 +471,7 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                                            backend)
             return _whitted_step(scene, st, hits, surf, backend, tile,
                                  stack_depth, max_depth, S, shadows,
-                                 False)
+                                 False, opts)
 
         st = jax.lax.cond(jnp.any(alive0), live, lambda st: st, st0)
         out = (st["rays"].o, st["rays"].d, st["weight"], st["depth"],
@@ -479,7 +504,8 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         hits, surf = trace_and_surface(st["rays"], st["alive"],
                                        bounce_backend)
         return _whitted_step(scene, st, hits, surf, bounce_backend, tile,
-                             stack_depth, max_depth, S, shadows, False)
+                             stack_depth, max_depth, S, shadows, False,
+                             opts)
 
     # Staged width shrink (see pt_trace_frame): alive never resurrects a
     # dead lane (pop only fires on still-alive terminating lanes), so
@@ -594,6 +620,9 @@ class WhittedRenderer(TiledRenderer):
             assert env_px is not None, "scene has no environment probe"
             environment = create_environment(env_px, env_px.shape[1], env_px.shape[0])
         self.environment = environment
+        # Raw (pre-replication) bindings for render/api.py's rebind check.
+        self._bound_scene = self.scene
+        self._bound_env = self.environment
         # main.cpp:346 forces maxDepth=8 for the Whitted demo.
         self.max_depth = int(scene_data.max_depth)
         if context.mesh is not None:
@@ -622,6 +651,8 @@ class WhittedRenderer(TiledRenderer):
         stack_depth = cfg.traversal_stack_depth
         trace_block = cfg.trace_block
         shadows = self.shadows
+        opts = cfg.engine_opts()
+        mesh_axis = "tiles" if self.context.mesh is not None else None
 
         def frame_body(fb3, xs, ys, alives, key, spp, cam_arrays):
             del spp  # Whitted uses per-frame keys only
@@ -630,7 +661,8 @@ class WhittedRenderer(TiledRenderer):
                 scene, env, cam_arrays, xs, ys, alives, key, max_depth,
                 stack_size, backend=backend, tile=tile,
                 stack_depth=stack_depth, shadows=shadows,
-                bounce_backend=bounce_backend)
+                bounce_backend=bounce_backend, opts=opts,
+                mesh_axis=mesh_axis)
             return fb3 + rad, traced, dropped
 
         return frame_body
@@ -651,6 +683,7 @@ class WhittedRenderer(TiledRenderer):
         primary_only = self.primary_only
         bounce_backend = self.bounce_backend
         regroup = self.context.configuration.regroup
+        opts = self.context.configuration.engine_opts()
 
         def wave_fn(x, y, alive, key, spp, cam_arrays):
             del spp  # Whitted uses per-frame keys only
@@ -659,6 +692,6 @@ class WhittedRenderer(TiledRenderer):
                 max_depth, stack_size, backend=backend, tile=tile,
                 stack_depth=stack_depth, shadows=shadows,
                 bounce_backend=bounce_backend, primary_only=primary_only,
-                regroup=regroup)
+                regroup=regroup, opts=opts)
 
         return wave_fn

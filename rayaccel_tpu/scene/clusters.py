@@ -236,6 +236,13 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     n0, n1, n2 = vn[idx[rid, 0]], vn[idx[rid, 1]], vn[idx[rid, 2]]
     uv0, uv1, uv2 = vt[idx[rid, 0]], vt[idx[rid, 1]], vt[idx[rid, 2]]
     mat = np.asarray(scene.triangle_materials, np.float32)[rid]
+    # The material id rides a bf16 half-word (A[:, 4] below): bf16 has an
+    # 8-bit mantissa, so integers are exact only up to 256 — beyond that
+    # shading would silently pick wrong materials (ADVICE r3).
+    if mat.size and mat.max() > 256:
+        raise ValueError(
+            f"material id {int(mat.max())} exceeds the bf16-exact packing "
+            "range (256); widen ATTR packing before using more materials")
     A[real, 0] = _pack_pairs(n0[:, 0], n0[:, 1])
     A[real, 1] = _pack_pairs(n0[:, 2], n1[:, 0])
     A[real, 2] = _pack_pairs(n1[:, 1], n1[:, 2])

@@ -77,6 +77,76 @@ def test_replicate_scene_places_on_all_devices(scene64):
     assert len(rep.G.sharding.device_set) == 8
 
 
+def test_bounce_resharding_balances_and_preserves_image(scene64):
+    """Cross-chip bounce load balance (SURVEY §2d work-stealing analog;
+    reference RayAccelerator.cpp:215-244, 360-363): with half the mesh's
+    lanes dead after stage 1, the reshard exchange must (a) spread bounce
+    trace work across all shards and (b) leave the image BITWISE
+    unchanged — bounce RNG is keyed by global lane id (_lane_uniform),
+    so lane placement cannot affect radiance."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    import jax.numpy as jnp
+    from rayaccel_tpu.camera import Camera
+    from rayaccel_tpu.environment import create_environment
+    from rayaccel_tpu.parallel.mesh import replicate_scene
+    from rayaccel_tpu.render.pathtracer import pt_trace_frame
+    from rayaccel_tpu.render.tiled import block_swizzle
+    from rayaccel_tpu.scene.clusters import compile_clusters
+
+    sd = make_test_scene(viewport=(128, 128), max_depth=3)
+    D = 8
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("tiles",))
+    scene = replicate_scene(mesh, compile_clusters(sd, cluster_size=32))
+    env = replicate_scene(mesh, create_environment(
+        sd.env_pixels, sd.env_pixels.shape[1], sd.env_pixels.shape[0]))
+    cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov,
+                         128, 128).as_arrays()
+
+    n_lanes = 16384
+    perm, x, y = block_swizzle(128, 128, n_lanes)
+    xs = jnp.asarray(x[None, :], jnp.int32)           # one wave
+    ys = jnp.asarray(y[None, :], jnp.int32)
+    # Kill the lanes of shards 4-7 (the R axis shards contiguously):
+    # shards 0-3 carry every live bounce ray -> 2x imbalance.
+    alive = (perm >= 0) & (np.arange(n_lanes) < n_lanes // 2)
+    alives = jnp.asarray(alive[None, :])
+
+    def run(reshard):
+        @jax.jit
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, "tiles"),) * 3 + (P(),),
+                 out_specs=(P(None, "tiles"), P("tiles")),
+                 check_vma=False)
+        def fn(xs, ys, alives, key):
+            rad, traced, _ = pt_trace_frame(
+                scene, env, cam, xs, ys, alives, key, max_depth=3,
+                backend="mxu", tile=512, bounce_backend="mxu",
+                mesh_axis="tiles", n_shards=D, reshard=reshard)
+            return rad, traced[None]
+
+        rad, traced = fn(xs, ys, alives, jax.random.PRNGKey(7))
+        return np.asarray(rad), np.asarray(traced)
+
+    rad_off, traced_off = run(False)
+    rad_on, traced_on = run(True)
+
+    # (b) bitwise-identical radiance in original lane order.
+    np.testing.assert_array_equal(rad_on, rad_off)
+
+    # (a) without resharding the dead shards do only stage-1 work; with
+    # it, bounce work spreads: the idle half's share of traced rays must
+    # grow and the busy half's max must drop.
+    idle_off = traced_off[D // 2:].sum()
+    idle_on = traced_on[D // 2:].sum()
+    assert traced_on.sum() == traced_off.sum(), "ray conservation"
+    assert idle_on > idle_off, (
+        f"resharding moved no work: {traced_off} -> {traced_on}")
+    assert traced_on.max() < traced_off.max(), (
+        f"busiest shard not relieved: {traced_off} -> {traced_on}")
+
+
 def test_sharded_pallas_backend(scene64):
     """The Pallas kernel path must also run under the tile mesh."""
     r = make_renderer(scene64, mesh_shape=(8,), backend="pallas")

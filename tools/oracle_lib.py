@@ -1,0 +1,89 @@
+"""Cross-engine agreement oracle, callable from bench.py (config 7) and
+tools/oracle_tpu.py.
+
+The reference's de-facto oracle is its runnable backend flag matrix —
+the same frame must agree with any engine disabled (main.cpp:289-302).
+Here the three cluster engines trace the same rays on the CURRENT
+backend (real hardware when invoked from bench.py — interpret-mode CI
+provably missed a Mosaic miscompile in round 3, docs/PERF_NOTES.md
+incidents) and must agree on hits within tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rayaccel_tpu.camera import Camera, generate_pixel_rays
+from rayaccel_tpu.ops.trace_mxu import trace_mxu
+from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+from rayaccel_tpu.ops.trace_sparse import trace_sparse
+from rayaccel_tpu.types import Rays
+
+
+def _trace(bk, cs, rays, tile):
+    if bk == "mxu":
+        res = trace_mxu(cs, rays, tile=tile)
+        ov = 0
+    elif bk == "pallas":
+        res, ov = trace_mxu_pallas(cs, rays, tile=tile)
+    else:
+        res, ov = trace_sparse(cs, rays)
+    return np.asarray(res.hits.tri), np.asarray(res.hits.t), int(ov)
+
+
+def run_oracle(cs, sd, n_rays=65536, tile=1024, key=None):
+    """Trace coherent primaries (pallas + sparse vs mxu) and scattered
+    box rays (sparse vs mxu) and score agreement. Returns (rows, ok):
+    one dict per engine/ray-class comparison; ok requires >99.95% hit
+    agreement and t agreement within 1e-3 relative."""
+    key = jax.random.PRNGKey(42) if key is None else key
+    cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov,
+                         sd.viewport_width, sd.viewport_height).as_arrays()
+
+    def ray_sets():
+        # Coherent primaries exactly as production makes them:
+        # block-swizzled screen tiles (the dense engines' contract).
+        from rayaccel_tpu.render.tiled import block_swizzle
+        _, x, y = block_swizzle(sd.viewport_width, sd.viewport_height,
+                                max(n_rays, 983040))
+        prim = generate_pixel_rays(cam, jnp.asarray(x[:n_rays], jnp.int32),
+                                   jnp.asarray(y[:n_rays], jnp.int32),
+                                   key=jax.random.fold_in(key, 0))
+        yield "primary", prim, ("pallas", "sparse")
+        # Scattered rays: the hybrid router sends these to the sparse
+        # engine only (dense per-tile queue caps would truncate).
+        lo = jnp.min(cs.cl_bbmin, axis=0)
+        hi = jnp.max(cs.cl_bbmax, axis=0)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
+        o = jax.random.uniform(k1, (n_rays, 3)) * (hi - lo) + lo
+        d = jax.random.normal(k2, (n_rays, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        yield "scattered", Rays(o, d, jnp.full((n_rays,), 1e-3),
+                                jnp.full((n_rays,), 1e6)), ("sparse",)
+
+    rows = []
+    for name, rays, engines in ray_sets():
+        ref_tri, ref_t, _ = _trace("mxu", cs, rays, tile)
+        for bk in engines:
+            tri, t, ov = _trace(bk, cs, rays, tile)
+            hit_ref = ref_tri >= 0
+            hit_bk = tri >= 0
+            hit_agree = float((hit_ref == hit_bk).mean())
+            both = hit_ref & hit_bk
+            tri_agree = (float((tri[both] == ref_tri[both]).mean())
+                         if both.any() else 1.0)
+            # Near-tie tolerance: engines may pick either of two
+            # coplanar/shared-edge winners; t must still agree.
+            rel = (np.abs(t[both] - ref_t[both])
+                   / np.maximum(ref_t[both], 1e-6))
+            t_ok = float((rel < 1e-3).mean()) if both.any() else 1.0
+            rows.append(dict(rays=name, engine=f"{bk} vs mxu",
+                             hit_agree=round(hit_agree, 6),
+                             tri_agree=round(tri_agree, 6),
+                             t_within_1e3=round(t_ok, 6),
+                             overflow=ov, n=int(ref_tri.size)))
+    ok = all(r["hit_agree"] > 0.9995 and r["t_within_1e3"] > 0.9995
+             for r in rows)
+    return rows, ok

@@ -5,8 +5,8 @@ Baselines to beat (docs/PERF_NOTES.md round-3 decomposition):
   sparse_k4_full 115.5 ms, dense_primary_65k 3.54 ms.
 
 Run from repo root on the TPU: python tools/probe_r3_timing.py
-K_PER_STEP is read from RACC_K_STEP at import (default 4); run twice to
-compare 4 vs 8.
+K_PER_STEP env override is gone (knobs live in Configuration now); pass
+k_step to trace_mxu_pallas to compare 4 vs 8.
 """
 
 import os as _os, sys as _sys
