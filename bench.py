@@ -109,6 +109,21 @@ def main():
             "elapsed_s": round(time.perf_counter() - T_START, 1),
         }), flush=True)
 
+    def guarded(metric, fn):
+        """One config = one failure domain: an exception (OOM, subprocess
+        timeout, tunnel drop) prints an error line and the run continues,
+        so the headline still re-prints LAST and rc stays 0."""
+        if past_deadline():
+            skipped(metric)
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — deliberately broad
+            print(json.dumps({
+                "metric": metric, "value": 0, "unit": "error",
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }), flush=True)
+
     def ctx(**kw):
         return racc.create_context(racc.Configuration(
             backend=backend, wave_size=wave, trace_block=tile, **kw))
@@ -151,77 +166,75 @@ def main():
         # Config 5b: the SAME shard_map frame path on real hardware with a
         # 1-chip mesh — validates the production multi-chip layout
         # (shard_map + psum counters) end to end on the TPU.
-        if past_deadline():
-            skipped("multichip_mesh1_tpu_mrays_per_s")
-        else:
+        def cfg5b():
             r = pt(2, mesh_shape=(1,))
             m, ms, rays = run_config(r, max(frames // 4, 1))
             line("multichip_mesh1_tpu_mrays_per_s", m, ms, rays,
                  mesh_shape=[1])
+        guarded("multichip_mesh1_tpu_mrays_per_s", cfg5b)
 
     if "1" in configs:
         # Config 1: Whitted, primary + shadow rays only.
-        if past_deadline():
-            skipped("whitted_primary_shadow_mrays_per_s")
-        else:
+        def cfg1():
             sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 1})
             r = racc.WhittedRenderer(ctx(), cam_of(sd), sd,
                                      tpu_scene=tpu_scene,
                                      shadows=True, primary_only=True)
             line("whitted_primary_shadow_mrays_per_s",
                  *run_config(r, frames))
+        guarded("whitted_primary_shadow_mrays_per_s", cfg1)
 
     if "6" in configs:
         # Config 6: Whitted full ray trees, depth 8 (main.cpp:346 forces
         # maxDepth=8 for the Whitted demo) on the frame-pooled tree loop.
-        if past_deadline():
-            skipped("whitted_depth8_mrays_per_s")
-        else:
+        def cfg6():
             sd = type(scene_data)(**{**scene_data.__dict__, "max_depth": 8})
             r = racc.WhittedRenderer(ctx(), cam_of(sd), sd,
                                      tpu_scene=tpu_scene)
             line("whitted_depth8_mrays_per_s",
                  *run_config(r, max(frames // 2, 1)))
+        guarded("whitted_depth8_mrays_per_s", cfg6)
 
     if "3" in configs:
         # Config 3: full BSDF, 8 bounces, regrouping on.
-        if past_deadline():
-            skipped("pt8_fullbsdf_mrays_per_s")
-        else:
+        def cfg3():
             r = pt(8)
             line("pt8_fullbsdf_mrays_per_s",
                  *run_config(r, max(frames // 2, 1)))
+        guarded("pt8_fullbsdf_mrays_per_s", cfg3)
 
     if "4" in configs:
         # Config 4: progressive stratified accumulation (256-spp target;
         # measured over `frames` progressive samples).
-        if past_deadline():
-            skipped("pt_stratified_mrays_per_s")
-        else:
+        def cfg4():
             r = pt(2, sampler="stratified")
             m, ms, rays = run_config(r, frames)
             line("pt_stratified_mrays_per_s", m, ms, rays, spp_target=256)
+        guarded("pt_stratified_mrays_per_s", cfg4)
 
     if "5" in configs:
         # Config 5a: multi-chip tile-parallel smoke on the virtual CPU mesh
         # (one real chip here; the driver separately gates dryrun_multichip).
-        t0 = time.perf_counter()
-        proc = subprocess.run([sys.executable, "__graft_entry__.py"],
-                              cwd=os.path.dirname(os.path.abspath(__file__))
-                              or ".", capture_output=True, text=True,
-                              timeout=600)
-        ok = proc.returncode == 0 and "OK" in proc.stdout
-        mesh_mrays = 0.0
-        for ln in proc.stdout.splitlines():
-            if ln.startswith("MULTICHIP_MRAYS="):
-                mesh_mrays = float(ln.split("=", 1)[1])
-        print(json.dumps({
-            "metric": "multichip_cpu_mesh_smoke",
-            "value": 1 if ok else 0,
-            "unit": "ok",
-            "cpu_mesh_mrays_per_s": round(mesh_mrays, 3),
-            "seconds": round(time.perf_counter() - t0, 1),
-        }), flush=True)
+        def cfg5a():
+            t0 = time.perf_counter()
+            proc = subprocess.run([sys.executable, "__graft_entry__.py"],
+                                  cwd=os.path.dirname(
+                                      os.path.abspath(__file__)) or ".",
+                                  capture_output=True, text=True,
+                                  timeout=600)
+            ok = proc.returncode == 0 and "OK" in proc.stdout
+            mesh_mrays = 0.0
+            for ln in proc.stdout.splitlines():
+                if ln.startswith("MULTICHIP_MRAYS="):
+                    mesh_mrays = float(ln.split("=", 1)[1])
+            print(json.dumps({
+                "metric": "multichip_cpu_mesh_smoke",
+                "value": 1 if ok else 0,
+                "unit": "ok",
+                "cpu_mesh_mrays_per_s": round(mesh_mrays, 3),
+                "seconds": round(time.perf_counter() - t0, 1),
+            }), flush=True)
+        guarded("multichip_cpu_mesh_smoke", cfg5a)
 
     if "7" in configs:
         # Config 7: on-hardware cross-engine oracle (VERDICT r3 missing
@@ -229,9 +242,7 @@ def main():
         # in round 3, so every bench artifact certifies hardware
         # agreement between the three cluster engines on the ray classes
         # the hybrid router gives them.
-        if past_deadline():
-            skipped("oracle_tpu")
-        else:
+        def cfg7():
             from tools.oracle_lib import run_oracle
             rows, ok = run_oracle(tpu_scene, scene_data, n_rays=65536)
             print(json.dumps({
@@ -241,6 +252,7 @@ def main():
                 "rows": rows,
                 "device": str(jax.devices()[0]),
             }), flush=True)
+        guarded("oracle_tpu", cfg7)
 
     if headline is not None:
         # Re-print the headline LAST: the driver parses the final line.
