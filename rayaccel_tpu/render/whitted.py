@@ -409,7 +409,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
 @partial(jax.jit, static_argnames=("max_depth", "stack_size", "backend",
                                    "tile", "stack_depth", "shadows",
                                    "bounce_backend", "min_stage_width",
-                                   "opts", "mesh_axis"))
+                                   "opts", "mesh_axis", "stage_ratio",
+                                   "hot_levels"))
 def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         xs: jnp.ndarray, ys: jnp.ndarray,
                         alives: jnp.ndarray, key: jax.Array,
@@ -419,7 +420,9 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         bounce_backend: str = "sparse",
                         min_stage_width: int = 8192,
                         opts: EngineOpts = EngineOpts(),
-                        mesh_axis: str | None = None):
+                        mesh_axis: str | None = None,
+                        stage_ratio: int = 2,
+                        hot_levels: int = 4):
     """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
     bounce loop (the pt_trace_frame pattern applied to the parked-stack
     state). The reference analog is the frame-global loopData pool sized
@@ -509,13 +512,27 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
 
     # Staged width shrink (see pt_trace_frame): alive never resurrects a
     # dead lane (pop only fires on still-alive terminating lanes), so
-    # the live set is monotone and the pool can shrink 4x whenever it
-    # fits — one live-first 1-operand sort + one head row gather that
-    # moves the lane state AND the parked stacks; dead lanes leave a
-    # (lane, radiance) piece behind for the final reassembly.
+    # the live set is monotone and the pool can shrink whenever it fits
+    # the next stage — one live-first 1-operand sort + one head row
+    # gather; dead lanes leave a (lane, radiance) piece behind for the
+    # final reassembly. Unlike the PT pool (live collapses after 1-2
+    # bounces), Whitted trees keep 25-60% of lanes alive for MANY
+    # iterations (measured trajectory: tools/probe_whitted_traj.py), so
+    # the ladder ratio is 2, not 4 — several iterations amortize each
+    # haul, and a ratio-4 ladder leaves ~4 extra iterations at full
+    # width (~60ms each at frame scale).
     stage_widths = [N]
-    while stage_widths[-1] // 4 >= min_stage_width:
-        stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
+    while stage_widths[-1] // stage_ratio >= min_stage_width:
+        stage_widths.append(
+            -(-stage_widths[-1] // stage_ratio // 1024) * 1024)
+
+    # Two-tier stack haul: the measured depth-8 trajectory never parks
+    # deeper than sp=3, so stack levels >= hot_levels ride each shrink
+    # only under a cond on the actual max sp — the common case hauls
+    # 15 + 10*H columns instead of 15 + 10*S (the VERDICT r3 "moving
+    # 115 columns per shrink" item), and the deep levels stay exact
+    # when a pathological scene does park that deep.
+    H = min(hot_levels, S)
 
     def run_stage(st, width, next_width):
         def cond(s):
@@ -534,15 +551,44 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         perm = jax.lax.sort(
             (jnp.where(st["alive"], iota_w, jnp.int32(0x7FFFFFFF)),
              iota_w), num_keys=1)[1]
+        head_perm = perm[:next_width]
         S_mat = jnp.concatenate([
             r.o, r.d, st["weight"], st["radiance"],
             st["depth"].astype(jnp.float32)[:, None],
             st["sp"].astype(jnp.float32)[:, None],
             st["alive"].astype(jnp.float32)[:, None],
-            st["stk"].reshape(S * 7, width).T,
-            st["stk_w"].reshape(S * 3, width).T], axis=1)
-        head = jnp.take(S_mat, perm[:next_width], axis=0)
-        lane_h = jnp.take(st["lane"], perm[:next_width])
+            st["stk"][:H].reshape(H * 7, width).T,
+            st["stk_w"][:H].reshape(H * 3, width).T], axis=1)
+        head = jnp.take(S_mat, head_perm, axis=0)
+        lane_h = jnp.take(st["lane"], head_perm)
+
+        if H < S:
+            # Deep tier: occupied levels are 0..sp-1, so levels >= H
+            # hold data only when some lane has sp > H.
+            D = S - H
+            deep_needed = jnp.any(st["sp"] > H)
+
+            def haul_deep(_):
+                M = jnp.concatenate([
+                    st["stk"][H:].reshape(D * 7, width).T,
+                    st["stk_w"][H:].reshape(D * 3, width).T], axis=1)
+                return jnp.take(M, head_perm, axis=0)
+
+            deep = jax.lax.cond(
+                deep_needed, haul_deep,
+                lambda _: jnp.zeros((next_width, D * 10), jnp.float32),
+                0)
+            stk2 = jnp.concatenate(
+                [head[:, 15:15 + H * 7].T.reshape(H, 7, next_width),
+                 deep[:, :D * 7].T.reshape(D, 7, next_width)], axis=0)
+            stkw2 = jnp.concatenate(
+                [head[:, 15 + H * 7:15 + H * 10].T.reshape(
+                    H, 3, next_width),
+                 deep[:, D * 7:].T.reshape(D, 3, next_width)], axis=0)
+        else:
+            stk2 = head[:, 15:15 + S * 7].T.reshape(S, 7, next_width)
+            stkw2 = head[:, 15 + S * 7:15 + S * 10].T.reshape(
+                S, 3, next_width)
 
         S4 = jnp.concatenate([st["lane"].astype(jnp.float32)[:, None],
                               st["radiance"]], axis=1)
@@ -556,9 +602,7 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             depth=head[:, 12].astype(jnp.int32),
             sp=head[:, 13].astype(jnp.int32),
             alive=head[:, 14] > 0,
-            stk=head[:, 15:15 + S * 7].T.reshape(S, 7, next_width),
-            stk_w=head[:, 15 + S * 7:15 + S * 10].T.reshape(S, 3,
-                                                            next_width),
+            stk=stk2, stk_w=stkw2,
             lane=lane_h, traced=st["traced"], dropped=st["dropped"],
         )
         return st2, piece

@@ -377,6 +377,35 @@ def test_whitted_pooled_shrink_boundary(small_scene):
     np.testing.assert_array_equal(rads[1024], rads[1 << 30])
 
 
+def test_whitted_pooled_deep_stack_tier(small_scene):
+    """The two-tier stack haul (levels >= hot_levels gathered under a
+    cond on max sp) must be exact when the deep tier IS occupied:
+    hot_levels=1 forces every sp>=2 park through the cond path, and the
+    image must match the all-hot haul bitwise. Also pins stage_ratio
+    invariance (2 vs 4 ladders are pure re-stagings)."""
+    from rayaccel_tpu.render.whitted import whitted_trace_frame
+    from rayaccel_tpu.scene.clusters import compile_clusters
+    s = type(small_scene)(**{**small_scene.__dict__, "max_depth": 6})
+    cs = compile_clusters(s)
+    from rayaccel_tpu.environment import create_environment
+    env = create_environment(s.env_pixels, s.env_pixels.shape[1],
+                             s.env_pixels.shape[0])
+    xs, ys, als = _frame_inputs(4096, 512, 64, 64)
+    cam = cam_of(s).as_arrays()
+    rads = {}
+    for name, kw in (("hot_all", dict(hot_levels=6)),
+                     ("hot1", dict(hot_levels=1)),
+                     ("hot1_r4", dict(hot_levels=1, stage_ratio=4))):
+        rad, traced, dropped = whitted_trace_frame(
+            cs, env, cam, xs, ys, als, jax.random.PRNGKey(4), 6,
+            stack_size=6, backend="mxu", tile=512, bounce_backend="mxu",
+            min_stage_width=1024, **kw)
+        assert int(dropped) == 0
+        rads[name] = np.asarray(rad)
+    np.testing.assert_array_equal(rads["hot1"], rads["hot_all"])
+    np.testing.assert_array_equal(rads["hot1_r4"], rads["hot_all"])
+
+
 def test_render_api_scene_override(small_scene):
     """Passing a scene/environment override through racc.render must drop
     the compiled-frame cache (which closes over the old arrays): the next
@@ -444,3 +473,28 @@ def test_stratified_sampler_converges_faster(small_scene):
     err_s = np.sqrt(np.mean((imgs["stratified"] - ref_img) ** 2))
     # Stratification should not be worse; usually clearly better.
     assert err_s < err_u * 1.1, (err_s, err_u)
+
+
+def test_engine_opts_flow_from_configuration(small_scene):
+    """Configuration's engine knobs (previously RACC_* env vars) must
+    reach the engines through the jitted frame fns: a sparse-bounce
+    render with non-default k_pairs/max_passes/sp_tile must stay exact
+    (the spill multipass guarantees exactness at ANY k) and agree with
+    the default-knob image."""
+    s = small_scene
+    imgs = {}
+    for name, kw in (("default", {}),
+                     ("tuned", dict(sparse_k_pairs=2, sparse_max_passes=12,
+                                    sparse_sp_tile=512,
+                                    sparse_pair_budget=4))):
+        # backend="mxu" + hybrid_tracing default => bounce engine is
+        # sparse, so the sparse_* knobs are on the traced path.
+        ctx = make_context("mxu", **kw)
+        r = racc.PathTracingRenderer(ctx, cam_of(s), s)
+        for i in range(2):
+            r.render_frame(jax.random.PRNGKey(55 + i))
+        imgs[name] = r.image()
+    # Same rays, same RNG; only the sparse engine's internal pass
+    # structure differs — exactness means the images agree to fp noise.
+    np.testing.assert_allclose(imgs["tuned"], imgs["default"],
+                               rtol=1e-5, atol=1e-6)
