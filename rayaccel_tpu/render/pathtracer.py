@@ -56,11 +56,28 @@ def _lane_uniform(key, lane):
     """Per-lane (3,) uniforms keyed by LANE ID, not array position: a
     lane's draws are invariant under every state reordering (regroup,
     staged width shrink, cross-chip re-sharding), so images are bitwise
-    reproducible across lane placements. One extra threefry pass per
-    bounce vs positional draws (jax.random.uniform already pays one)."""
-    mixed = jax.vmap(lambda l: jax.random.fold_in(key, l))(lane)
-    return jax.vmap(lambda k: jax.random.uniform(k, (3,), jnp.float32))(
-        mixed)
+    reproducible across lane placements.
+
+    ONE threefry sweep (a vmapped fold_in+uniform formulation costs a
+    second full sweep). Counter layout: 4 segments [l, l+2^30, l+2^31,
+    l+3*2^30] — threefry_2x32 splits an even-length counter in half, so
+    block i pairs (l_i, l_i+2^31) and block N+i pairs (l_i+2^30,
+    l_i+3*2^30): every cipher block is a function of the LANE ID ONLY,
+    never of the array length or position (a 3-segment layout would pair
+    across segments at a length-dependent split — measured to break
+    placement invariance under the live-prefix buckets). Lane ids are
+    < 2^24 (asserted by the frame pools), so the 2^30-strided segments
+    never collide. The first three output segments are the draws."""
+    from jax._src import prng as _prng
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    l = lane.astype(jnp.uint32)
+    cnt = jnp.concatenate(
+        [l, l + jnp.uint32(1 << 30), l + jnp.uint32(2 << 30),
+         l + jnp.uint32(3 << 30)])
+    bits = _prng.threefry_2x32((kd[0], kd[1]), cnt)
+    f = jax.lax.bitcast_convert_type(
+        (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    return f.reshape(4, -1)[:3].T
 
 
 def pt_shade(surf, rays, weight, key, lane=None):
