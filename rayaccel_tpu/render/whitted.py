@@ -410,7 +410,7 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                                    "tile", "stack_depth", "shadows",
                                    "bounce_backend", "min_stage_width",
                                    "opts", "mesh_axis", "stage_ratio",
-                                   "hot_levels"))
+                                   "hot_levels", "bounce_scan"))
 def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         xs: jnp.ndarray, ys: jnp.ndarray,
                         alives: jnp.ndarray, key: jax.Array,
@@ -422,7 +422,8 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         opts: EngineOpts = EngineOpts(),
                         mesh_axis: str | None = None,
                         stage_ratio: int = 2,
-                        hot_levels: int = 4):
+                        hot_levels: int = 4,
+                        bounce_scan: int | None = None):
     """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
     bounce loop (the pt_trace_frame pattern applied to the parked-stack
     state). The reference analog is the frame-global loopData pool sized
@@ -449,7 +450,38 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         # primary camera jitter consumes randomness).
         key = jax.random.fold_in(key, jax.lax.axis_index(mesh_axis))
 
-    def trace_and_surface(rays, alive, bk):
+    def trace_and_surface(rays, alive, bk, scan_wave=None):
+        # The dense engines are wave-sized (65k best; superlinear wall
+        # beyond 131k — docs/PERF_NOTES.md), so a dense BOUNCE trace over
+        # a wide pool scans fixed-width waves instead of one full-width
+        # dispatch. Whitted bounces are mirror/refraction children of
+        # coherent primaries and the pool preserves frame order (stable
+        # live-first shrink sorts), so per-tile cluster unions stay
+        # small enough for the work-queue caps (tools/
+        # probe_whitted_dense.py measures this per scene).
+        R_cur = rays.o.shape[0]
+        if (scan_wave and bk in ("pallas", "mxu") and R_cur > scan_wave
+                and R_cur % scan_wave == 0):
+            Wv = R_cur // scan_wave
+
+            def resh(a):
+                return a.reshape((Wv, scan_wave) + a.shape[1:])
+
+            def step(_, inp):
+                o, dvec, tmin, tmax, a = inp
+                h, s = _whitted_trace(scene, env, Rays(o, dvec, tmin,
+                                                       tmax), a, bk,
+                                      tile, stack_depth, opts)
+                return 0, (h, s)
+
+            _, (hs, ss) = jax.lax.scan(
+                step, 0, (resh(rays.o), resh(rays.d), resh(rays.tmin),
+                          resh(rays.tmax), resh(alive)))
+
+            def unr(a):
+                return a.reshape((R_cur,) + a.shape[2:])
+
+            return jax.tree.map(unr, hs), jax.tree.map(unr, ss)
         return _whitted_trace(scene, env, rays, alive, bk, tile,
                               stack_depth, opts)
 
@@ -505,7 +537,8 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
 
     def bounce_body(st):
         hits, surf = trace_and_surface(st["rays"], st["alive"],
-                                       bounce_backend)
+                                       bounce_backend,
+                                       scan_wave=bounce_scan)
         return _whitted_step(scene, st, hits, surf, bounce_backend, tile,
                              stack_depth, max_depth, S, shadows, False,
                              opts)
