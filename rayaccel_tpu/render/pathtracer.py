@@ -43,13 +43,19 @@ from rayaccel_tpu.ops.trace_mxu import trace_mxu
 from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
 from rayaccel_tpu.ops.trace_sparse import trace_sparse
 from rayaccel_tpu.render.regroup import coherence_key, regroup_state
-from rayaccel_tpu.render.shading import (interpolate_surface, merge_rays,
+from rayaccel_tpu.render.shading import (SECONDARY_TMAX, SECONDARY_TMIN,
+                                         interpolate_surface, merge_rays,
                                          spawn_secondary, surface_from_attrs)
 from rayaccel_tpu.render.tiled import TiledRenderer
 from rayaccel_tpu.scene.clusters import ClusterScene, compile_clusters
 from rayaccel_tpu.scene.compile import compile_scene
 from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import Hits, INVALID_TRIANGLE, Rays
+
+# Piece rows carrying this lane value are live-lane duplicates emitted by
+# the gather-free fast shrink; the reassembly sort pushes them past every
+# real lane id (< 2^24) and a [:N] slice drops them.
+_LANE_INVALID = jnp.float32(3e38)
 
 
 def _lane_uniform(key, lane):
@@ -514,13 +520,16 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
             _shade_advance(hits, surf, st["rays"], st["weight"],
                            st["depth"], st["alive"], st["miss_d"],
                            st["miss_w"], skey, max_depth, lane=st["lane"])
-        return dict(
+        out = dict(
             rays=rays2, weight=weight2, depth=depth2, alive=alive2,
             miss_d=miss_d2, miss_w=miss_w2, lane=st["lane"],
             traced=st["traced"] + n_live,
             dropped=st["dropped"] + ov,
             bounce=st["bounce"] + 1,
         )
+        if "n_fresh" in st:
+            out["n_fresh"] = st["n_fresh"]
+        return out
 
     # Staged width shrink: a bounce iteration pays the select kernel +
     # lattice sort at the POOL width no matter how few lanes remain
@@ -540,6 +549,31 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     while (len(stage_widths) < max_depth
            and stage_widths[-1] // 4 >= min_stage_width):
         stage_widths.append(-(-stage_widths[-1] // 4 // 1024) * 1024)
+
+    # Fast shrink (single-shard / no-reshard pools): emit the dead-lane
+    # piece at FULL width from CARRIED columns only — rows that must not
+    # contribute are invalid-marked (lane = _LANE_INVALID) and dropped by
+    # the final reassembly sort's [:N] slice. This deletes the tail
+    # row-gather entirely (the single most expensive shrink term: 737k x
+    # 7 cols = ~15 ms measured at the depth-2 boundary, round-3 xplane)
+    # and shrinks the head haul 19 -> 10 columns, exploiting invariants
+    # of live lanes:
+    #   - miss_w == 0 (a terminal miss kills the lane), so miss_d is
+    #     irrelevant and both reset to (d, 0) after the haul;
+    #   - tmin/tmax are the SECONDARY_* constants (spawn_secondary);
+    #   - the live-first sort is stable, so alive == (position < live).
+    # Exactly-once emission: a lane's row is valid in the piece of the
+    # first stage it is BOTH fresh (alive at stage entry) and dead.
+    # Positions never move within a stage, and the head is live-first,
+    # so freshness is just (position < n_fresh) with the SCALAR n_fresh
+    # = live count at the previous shrink (N at stage 1, where
+    # initially-dead padding lanes must emit too) — dead padding lanes
+    # hauled into the head as filler are not fresh and never re-emit.
+    # With resharding, lanes cross shards and the route-home exchange
+    # needs exactly-N rows per shard — the gathered-piece path remains.
+    fast_shrink = not do_reshard
+    if fast_shrink:
+        state["n_fresh"] = jnp.int32(N)
 
     def run_stage(st, width, next_width):
         def cond(s):
@@ -561,6 +595,34 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
         perm = jax.lax.sort(
             (jnp.where(st["alive"], iota_w, jnp.int32(0x7FFFFFFF)),
              iota_w), num_keys=1)[1]
+        if fast_shrink:
+            n_live = jnp.sum(st["alive"].astype(jnp.int32))
+            S = jnp.concatenate([
+                r.o, r.d, st["weight"],
+                st["depth"].astype(jnp.float32)[:, None]], axis=1)
+            head = jnp.take(S, perm[:next_width], axis=0)
+            lane_h = jnp.take(st["lane"], perm[:next_width])
+            valid = (iota_w < st["n_fresh"]) & ~st["alive"]
+            piece = jnp.concatenate([
+                jnp.where(valid, st["lane"].astype(jnp.float32),
+                          _LANE_INVALID)[:, None],
+                st["miss_d"], st["miss_w"]], axis=1)
+            nw = next_width
+            st2 = dict(
+                rays=Rays(head[:, 0:3], head[:, 3:6],
+                          jnp.full((nw,), SECONDARY_TMIN, jnp.float32),
+                          jnp.full((nw,), SECONDARY_TMAX, jnp.float32)),
+                weight=head[:, 6:9],
+                miss_d=head[:, 3:6],
+                miss_w=jnp.zeros((nw, 3), jnp.float32),
+                depth=head[:, 9].astype(jnp.int32),
+                alive=jnp.arange(nw, dtype=jnp.int32) < n_live,
+                lane=lane_h,
+                n_fresh=n_live,
+                traced=st["traced"], dropped=st["dropped"],
+                bounce=st["bounce"],
+            )
+            return st2, piece
         S = jnp.concatenate([
             r.o, r.d, r.tmin[:, None], r.tmax[:, None], st["weight"],
             st["miss_d"], st["miss_w"],
@@ -591,11 +653,22 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
         st, piece = run_stage(st, w_s, nxt)
         if piece is not None:
             pieces.append(piece)
+    final_lane = st["lane"].astype(jnp.float32)
+    if fast_shrink and len(stage_widths) > 1:
+        # Non-fresh rows (dead padding hauled as head filler) already
+        # emitted their contribution in an earlier stage's piece.
+        fw = stage_widths[-1]
+        final_lane = jnp.where(
+            jnp.arange(fw, dtype=jnp.int32) < st["n_fresh"],
+            final_lane, _LANE_INVALID)
     pieces.append(jnp.concatenate(
-        [st["lane"].astype(jnp.float32)[:, None], st["miss_d"],
-         st["miss_w"]], axis=1))
+        [final_lane[:, None], st["miss_d"], st["miss_w"]], axis=1))
 
     # ---- stage 3: deferred env lookup + reassembly by lane id ----
+    # Fast-shrink pieces total ~1.31N rows (full stage widths) with live
+    # lanes' rows invalid-marked; the sort below floats the N real lanes
+    # to the front and the [:N] slice drops the rest. Gathered pieces
+    # (reshard path) partition the pool exactly (N rows).
     allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
     env_rgb = sample_environment_onehot(env, allp[:, 1:4])
     radiance = allp[:, 4:7] * env_rgb
@@ -620,7 +693,7 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
         _, r0, r1, r2 = jax.lax.sort(
             (lane_f, radiance[:, 0], radiance[:, 1], radiance[:, 2]),
             num_keys=1)
-        radiance = jnp.stack([r0, r1, r2], axis=1)
+        radiance = jnp.stack([r0[:N], r1[:N], r2[:N]], axis=1)
     rad = radiance.reshape(W, R, 3)
     return rad, st["traced"], st["dropped"]
 

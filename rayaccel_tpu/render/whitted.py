@@ -45,6 +45,10 @@ from rayaccel_tpu.scene.compile import TpuScene, compile_scene
 from rayaccel_tpu.scene.data import SceneData
 from rayaccel_tpu.types import INVALID_TRIANGLE, Rays
 
+# Invalid-lane marker for gather-free shrink pieces (see
+# render/pathtracer.py _LANE_INVALID — same reassembly contract).
+_LANE_INVALID = jnp.float32(3e38)
+
 MATERIAL_GRAY = 0.3                      # WhittedRenderer.cpp:343-345
 LIGHT_DIR = (0.57, 0.57, 0.57)           # WhittedRenderer.cpp:357-359
 ETA_GLASS = 1.1                          # WhittedRenderer.cpp:429-430
@@ -539,9 +543,10 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         hits, surf = trace_and_surface(st["rays"], st["alive"],
                                        bounce_backend,
                                        scan_wave=bounce_scan)
-        return _whitted_step(scene, st, hits, surf, bounce_backend, tile,
-                             stack_depth, max_depth, S, shadows, False,
-                             opts)
+        out = _whitted_step(scene, st, hits, surf, bounce_backend, tile,
+                            stack_depth, max_depth, S, shadows, False,
+                            opts)
+        return dict(out, n_fresh=st["n_fresh"])
 
     # Staged width shrink (see pt_trace_frame): alive never resurrects a
     # dead lane (pop only fires on still-alive terminating lanes), so
@@ -579,8 +584,16 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         if next_width is None:
             return st, None
 
+        # Gather-free shrink (see pt_trace_frame): the dead-lane piece is
+        # emitted at FULL width from CARRIED (lane, radiance) columns —
+        # no tail row-gather — with exactly-once validity (fresh & dead,
+        # freshness = position < n_fresh, positions stable in-stage; the
+        # final sort's [:N] slice drops invalid rows). Live lanes keep
+        # their accumulated radiance in the head (radiance is additive
+        # but sort-reassembly can't sum, so partial sums never split).
         r = st["rays"]
         iota_w = jnp.arange(width, dtype=jnp.int32)
+        n_live = jnp.sum(st["alive"].astype(jnp.int32))
         perm = jax.lax.sort(
             (jnp.where(st["alive"], iota_w, jnp.int32(0x7FFFFFFF)),
              iota_w), num_keys=1)[1]
@@ -589,7 +602,6 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             r.o, r.d, st["weight"], st["radiance"],
             st["depth"].astype(jnp.float32)[:, None],
             st["sp"].astype(jnp.float32)[:, None],
-            st["alive"].astype(jnp.float32)[:, None],
             st["stk"][:H].reshape(H * 7, width).T,
             st["stk_w"][:H].reshape(H * 3, width).T], axis=1)
         head = jnp.take(S_mat, head_perm, axis=0)
@@ -612,20 +624,22 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                 lambda _: jnp.zeros((next_width, D * 10), jnp.float32),
                 0)
             stk2 = jnp.concatenate(
-                [head[:, 15:15 + H * 7].T.reshape(H, 7, next_width),
+                [head[:, 14:14 + H * 7].T.reshape(H, 7, next_width),
                  deep[:, :D * 7].T.reshape(D, 7, next_width)], axis=0)
             stkw2 = jnp.concatenate(
-                [head[:, 15 + H * 7:15 + H * 10].T.reshape(
+                [head[:, 14 + H * 7:14 + H * 10].T.reshape(
                     H, 3, next_width),
                  deep[:, D * 7:].T.reshape(D, 3, next_width)], axis=0)
         else:
-            stk2 = head[:, 15:15 + S * 7].T.reshape(S, 7, next_width)
-            stkw2 = head[:, 15 + S * 7:15 + S * 10].T.reshape(
+            stk2 = head[:, 14:14 + S * 7].T.reshape(S, 7, next_width)
+            stkw2 = head[:, 14 + S * 7:14 + S * 10].T.reshape(
                 S, 3, next_width)
 
-        S4 = jnp.concatenate([st["lane"].astype(jnp.float32)[:, None],
-                              st["radiance"]], axis=1)
-        piece = jnp.take(S4, perm[next_width:], axis=0)
+        valid = (iota_w < st["n_fresh"]) & ~st["alive"]
+        piece = jnp.concatenate([
+            jnp.where(valid, st["lane"].astype(jnp.float32),
+                      _LANE_INVALID)[:, None],
+            st["radiance"]], axis=1)
 
         st2 = dict(
             rays=Rays(head[:, 0:3], head[:, 3:6],
@@ -634,21 +648,28 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             weight=head[:, 6:9], radiance=head[:, 9:12],
             depth=head[:, 12].astype(jnp.int32),
             sp=head[:, 13].astype(jnp.int32),
-            alive=head[:, 14] > 0,
+            alive=jnp.arange(next_width, dtype=jnp.int32) < n_live,
             stk=stk2, stk_w=stkw2,
-            lane=lane_h, traced=st["traced"], dropped=st["dropped"],
+            lane=lane_h, n_fresh=n_live,
+            traced=st["traced"], dropped=st["dropped"],
         )
         return st2, piece
 
     pieces = []
-    st = state
+    st = dict(state, n_fresh=jnp.int32(N))
     for si, w_sz in enumerate(stage_widths):
         nxt = stage_widths[si + 1] if si + 1 < len(stage_widths) else None
         st, piece = run_stage(st, w_sz, nxt)
         if piece is not None:
             pieces.append(piece)
+    final_lane = st["lane"].astype(jnp.float32)
+    if len(stage_widths) > 1:
+        fw = stage_widths[-1]
+        final_lane = jnp.where(
+            jnp.arange(fw, dtype=jnp.int32) < st["n_fresh"],
+            final_lane, _LANE_INVALID)
     pieces.append(jnp.concatenate(
-        [st["lane"].astype(jnp.float32)[:, None], st["radiance"]], axis=1))
+        [final_lane[:, None], st["radiance"]], axis=1))
 
     # ---- stage 3: reassembly by lane id ----
     allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
@@ -657,7 +678,7 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         _, r0, r1, r2 = jax.lax.sort(
             (allp[:, 0], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
             num_keys=1)
-        radiance = jnp.stack([r0, r1, r2], axis=1)
+        radiance = jnp.stack([r0[:N], r1[:N], r2[:N]], axis=1)
     rad = radiance.reshape(W, R, 3)
     return rad, st["traced"], st["dropped"]
 

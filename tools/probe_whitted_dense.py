@@ -104,8 +104,12 @@ for bounce in range(3):
         break
     rays = st["rays"]
 
-    # Per-65k-wave comparison over the first 4 waves of the pool.
-    for w in range(4):
+    # Per-65k-wave comparison over the 4 MOST-LIVE waves of the pool
+    # (frame order: leading waves are often pure sky => all dead).
+    per_wave = np.asarray(alive).reshape(-1, WAVE).sum(axis=1)
+    emit(stage="wave_live", bounce=bounce,
+         per_wave=[int(v) for v in per_wave])
+    for w in [int(i) for i in np.argsort(per_wave)[::-1][:4]]:
         sl = slice(w * WAVE, (w + 1) * WAVE)
         rw = Rays(rays.o[sl], rays.d[sl], rays.tmin[sl], rays.tmax[sl])
         aw = alive[sl]
