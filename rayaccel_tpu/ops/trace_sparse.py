@@ -402,23 +402,50 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
 
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, R), 0)
-    # Pack (ray, rank) into one sort payload: 2-operand sorts are ~1.5x
-    # cheaper than 3-operand at lattice scale (docs/PERF_NOTES.md).
-    rayrank = (jnp.broadcast_to(
-        jnp.arange(R, dtype=jnp.int32)[None, :] << 3, (K, R))
-        | jnp.arange(K, dtype=jnp.int32)[:, None]).reshape(-1)
+
+    # Lattice sort layout: when (cluster, ray, rank) fits one uint32 the
+    # sort runs SINGLE-operand (~40% cheaper at frame scale than the
+    # 2-operand (keys, payload) form — the sort is the one bounce term
+    # that scales with K x POOL width including dead lanes). cl_bits is
+    # sized so the all-ones dead marker is above every real cluster id.
+    ray_bits = max((R - 1).bit_length(), 1)
+    rank_bits = (K - 1).bit_length()
+    # Valid lattice ids are < n_c; the all-ones dead marker needs one
+    # value above them, so size for n_c (not n_c - 1).
+    cl_bits_s = max(int(n_c).bit_length(), 1)
+    packed_sort = cl_bits_s + ray_bits + rank_bits <= 32
 
     lat_valid, lat_id, spill, _cnt = _select_nearest_pallas(
         cs, o, inv_d, tlo, tmax_p, K, interpret, prev_packed=prev_packed)
     total_pairs = jnp.sum(lat_valid.astype(jnp.int32))
 
-    keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
-                     jnp.int32(_DEAD_CLUSTER))
-    cl_f, rr_f = jax.lax.sort((keys, rayrank), num_keys=1)
-    if kr_pad > kr:
-        cl_f = jnp.pad(cl_f, (0, kr_pad - kr),
-                       constant_values=_DEAD_CLUSTER)
-        rr_f = jnp.pad(rr_f, (0, kr_pad - kr))
+    if packed_sort:
+        lo = (jnp.arange(R, dtype=jnp.uint32)[None, :] << rank_bits
+              | jnp.arange(K, dtype=jnp.uint32)[:, None])
+        word = (lat_id.astype(jnp.uint32) << (ray_bits + rank_bits)) | lo
+        word = jnp.where(lat_valid, word, jnp.uint32(0xFFFFFFFF))
+        pk_f = jax.lax.sort(word.reshape(-1))
+        if kr_pad > kr:
+            pk_f = jnp.pad(pk_f, (0, kr_pad - kr),
+                           constant_values=jnp.uint32(0xFFFFFFFF))
+        ray_mask = jnp.uint32((1 << ray_bits) - 1)
+        rank_mask = jnp.uint32((1 << rank_bits) - 1) if rank_bits else None
+        cl_f = pk_f   # cluster rides the high bits; pair_branch decodes
+        rr_f = pk_f
+    else:
+        # 2-operand fallback: (keys, ray << 3 | rank) — 2-operand sorts
+        # are ~1.5x cheaper than 3-operand at lattice scale
+        # (docs/PERF_NOTES.md).
+        rayrank = (jnp.broadcast_to(
+            jnp.arange(R, dtype=jnp.int32)[None, :] << 3, (K, R))
+            | jnp.arange(K, dtype=jnp.int32)[:, None]).reshape(-1)
+        keys = jnp.where(lat_valid.reshape(-1), lat_id.reshape(-1),
+                         jnp.int32(_DEAD_CLUSTER))
+        cl_f, rr_f = jax.lax.sort((keys, rayrank), num_keys=1)
+        if kr_pad > kr:
+            cl_f = jnp.pad(cl_f, (0, kr_pad - kr),
+                           constant_values=_DEAD_CLUSTER)
+            rr_f = jnp.pad(rr_f, (0, kr_pad - kr))
     # Narrow per-ray gather source: [d, o, tlo, tmax]. The pair F-row
     # gather is ROW-LATENCY bound (~23ns/row at 16 cols vs ~13 at 8,
     # docs/PERF_NOTES.md facts table), so the bilinear cross-term rows
@@ -437,14 +464,22 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
                  for b in item_buckets]
 
         def br(cl_full, rr_full, F8_pass):
-            cl_s = cl_full[:mp]
-            ray_s = rr_full[:mp] >> 3
-            rank_s = rr_full[:mp] & 7
+            if packed_sort:
+                w = cl_full[:mp]
+                cl_s = (w >> (ray_bits + rank_bits)).astype(jnp.int32)
+                ray_s = ((w >> rank_bits) & ray_mask).astype(jnp.int32)
+                rank_s = ((w & rank_mask).astype(jnp.int32)
+                          if rank_bits else jnp.zeros_like(cl_s))
+                dead = cl_s >= n_c
+            else:
+                cl_s = cl_full[:mp]
+                ray_s = rr_full[:mp] >> 3
+                rank_s = rr_full[:mp] & 7
+                dead = cl_s >= _DEAD_CLUSTER
             F8 = jnp.take(F8_pass, ray_s, axis=0)         # (mp, 8)
             dx, dy, dz = F8[:, 0], F8[:, 1], F8[:, 2]
             ox, oy, oz = F8[:, 3], F8[:, 4], F8[:, 5]
-            lanes = jnp.where(cl_s >= _DEAD_CLUSTER,
-                              jnp.int32(_DEAD_CLUSTER),
+            lanes = jnp.where(dead, jnp.int32(_DEAD_CLUSTER),
                               cl_s | (rank_s << _RANK_SHIFT))
             # Rebuild [d, o, d x o, 1 | tlo, tmax, lanes, 0...] — rows
             # 0-9 match scene/clusters.py's G layout exactly
@@ -462,8 +497,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
             # Work items: one per cluster run per block.
             pos = jnp.arange(mp, dtype=jnp.int32)
             prev = jnp.concatenate([cl_s[:1] - 1, cl_s[:-1]])
-            boundary = ((cl_s < _DEAD_CLUSTER)
-                        & ((pos % SP == 0) | (cl_s != prev)))
+            boundary = (~dead & ((pos % SP == 0) | (cl_s != prev)))
             n_items = jnp.sum(boundary.astype(jnp.int32))
             bpos = jax.lax.sort(jnp.where(boundary, pos, jnp.int32(mp)))
             bpos = bpos[:max_items]
@@ -478,7 +512,7 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
 
             packed = jax.lax.bitcast_convert_type(out[:, 0, :],
                                                   jnp.int32).reshape(mp)
-            scatter_ray = jnp.where(cl_s < _DEAD_CLUSTER, ray_s, R)
+            scatter_ray = jnp.where(~dead, ray_s, R)
             best_p = jnp.full((R,), jnp.int32(_MISS_BITS))
             return best_p.at[scatter_ray].min(packed, mode="drop")
         return br

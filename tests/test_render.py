@@ -442,7 +442,13 @@ def test_whitted_pooled_scanned_dense_bounce(small_scene):
         rads[scan] = np.asarray(rad)
     np.testing.assert_allclose(rads[1024], rads[None],
                                rtol=1e-6, atol=1e-7)
-    assert np.mean(rads[1024] != rads[None]) < 0.05
+    # Re-batching noise is FUSION noise only: every differing lane must
+    # be within a couple of ULPs (the env-miss lerp chain contracts FMAs
+    # differently per batch width; exact-equality fractions vary with
+    # XLA fusion decisions, so bound the ULP distance instead).
+    ulp = np.abs(rads[1024].view(np.int32).astype(np.int64)
+                 - rads[None].view(np.int32).astype(np.int64))
+    assert ulp.max() <= 2, f"max ULP diff {ulp.max()}"
 
 
 def test_render_api_scene_override(small_scene):
