@@ -513,15 +513,20 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                                  False, opts)
 
         st = jax.lax.cond(jnp.any(alive0), live, lambda st: st, st0)
+        # Only stack LEVEL 0 can be occupied after the single primary
+        # step (a step pushes at most once, from sp = 0, and pops never
+        # write), so the scan carries 10 stack columns instead of 10*S:
+        # the stacked scan output shrinks 248 MB -> 27 MB and the
+        # pool-layout transpose moves S times less data.
         out = (st["rays"].o, st["rays"].d, st["weight"], st["depth"],
-               st["alive"], st["sp"], st["stk"], st["stk_w"],
+               st["alive"], st["sp"], st["stk"][0], st["stk_w"][0],
                st["radiance"])
         return (traced + st["traced"], dropped + st["dropped"], w + 1), out
 
     (traced0, dropped0, _), stacked = jax.lax.scan(
         prim_step, (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         (xs, ys, alives))
-    o_s, d_s, w_s, dep_s, al_s, sp_s, stk_s, stkw_s, rad_s = stacked
+    o_s, d_s, w_s, dep_s, al_s, sp_s, stk0_s, stkw0_s, rad_s = stacked
 
     def flat(a):
         return a.reshape((N,) + a.shape[2:])
@@ -533,8 +538,12 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                   jnp.full((N,), SECONDARY_TMAX, jnp.float32)),
         weight=flat(w_s), depth=flat(dep_s), alive=flat(al_s),
         sp=flat(sp_s),
-        stk=stk_s.transpose(1, 2, 0, 3).reshape(S, 7, N),
-        stk_w=stkw_s.transpose(1, 2, 0, 3).reshape(S, 3, N),
+        stk=jnp.concatenate(
+            [stk0_s.transpose(1, 0, 2).reshape(1, 7, N),
+             jnp.zeros((S - 1, 7, N), jnp.float32)], axis=0),
+        stk_w=jnp.concatenate(
+            [stkw0_s.transpose(1, 0, 2).reshape(1, 3, N),
+             jnp.zeros((S - 1, 3, N), jnp.float32)], axis=0),
         radiance=flat(rad_s), lane=jnp.arange(N, dtype=jnp.int32),
         traced=traced0, dropped=dropped0,
     )
