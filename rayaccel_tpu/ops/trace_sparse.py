@@ -59,6 +59,12 @@ _MISS_BITS = 0x7F000000   # packed-score miss marker (huge positive float)
 _MISS_F32 = float(__import__("numpy").int32(_MISS_BITS).view(
     __import__("numpy").float32))  # same bits as a host float constant
 
+# Packed-lattice-sort bit budget: (cluster, ray, rank) must fit one
+# uint32 sort key, else the 2-operand (keys, payload) sort is used.
+# Module-level so tests can force the fallback path (monkeypatch to 0)
+# and assert both orders produce identical hits.
+PACKED_SORT_MAX_BITS = 32
+
 # Work-queue capacity buckets (items): dispatch picks the smallest that
 # fits, so sparse waves don't pay the worst case's grid-step tax.
 # Measured (profile_xplane, round 3): restart passes land ~860 items and
@@ -413,7 +419,8 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
     # Valid lattice ids are < n_c; the all-ones dead marker needs one
     # value above them, so size for n_c (not n_c - 1).
     cl_bits_s = max(int(n_c).bit_length(), 1)
-    packed_sort = cl_bits_s + ray_bits + rank_bits <= 32
+    packed_sort = (cl_bits_s + ray_bits + rank_bits
+                   <= PACKED_SORT_MAX_BITS)
 
     lat_valid, lat_id, spill, _cnt = _select_nearest_pallas(
         cs, o, inv_d, tlo, tmax_p, K, interpret, prev_packed=prev_packed)

@@ -278,3 +278,34 @@ def test_select_kernel_matches_reference(scenes, rng):
     np.testing.assert_array_equal(np.asarray(cnt), ref_cnt)
     np.testing.assert_array_equal(np.asarray(spill) < 0x7F800000,
                                   ref_cnt > K)
+
+
+def test_sparse_packed_sort_matches_fallback(scenes, rng, monkeypatch):
+    """The packed single-operand lattice sort and the 2-operand fallback
+    must produce identical hits: they differ only in within-cluster pair
+    order (rank-major vs ray-major), which the packed min-merge and the
+    per-ray scatter-min are both invariant to (absent truncation). The
+    fallback never triggers at test scales (the key always fits 32
+    bits), so force it via the module bit budget."""
+    import rayaccel_tpu.ops.trace_sparse as sparse_mod
+
+    sd, ts, cs = scenes
+    n = 2048
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+
+    trace_sparse.clear_cache()
+    res_p, ov_p = trace_sparse(cs, rays, sp_tile=512)
+    monkeypatch.setattr(sparse_mod, "PACKED_SORT_MAX_BITS", 0)
+    trace_sparse.clear_cache()
+    res_f, ov_f = trace_sparse(cs, rays, sp_tile=512)
+    trace_sparse.clear_cache()
+
+    assert int(ov_p) == int(ov_f) == 0
+    np.testing.assert_array_equal(np.asarray(res_p.hits.tri),
+                                  np.asarray(res_f.hits.tri))
+    np.testing.assert_array_equal(np.asarray(res_p.hits.t),
+                                  np.asarray(res_f.hits.t))
