@@ -509,7 +509,16 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
             bpos = jax.lax.sort(jnp.where(boundary, pos, jnp.int32(mp)))
             bpos = bpos[:max_items]
             safe = jnp.minimum(bpos, mp - 1)
-            items = ((safe // SP) << 16) | (jnp.take(cl_s, safe) & 0xFFFF)
+            # Clamp the cluster id: when n_items == 0 (an all-dead
+            # dispatch, e.g. a sky-only ray set) every items entry is
+            # built from a DEAD lane, whose packed-sort decode is the
+            # all-ones marker (>= n_c) — an unclamped id sends the G
+            # BlockSpec out of bounds (block 1023 of 828: hard TPU
+            # INTERNAL crash, round-4 bench oracle). The clamped fetch
+            # is harmless: no @pl.when(live) body runs for such items,
+            # and the first-of-block init writes the miss marker only.
+            items = ((safe // SP) << 16) | (
+                jnp.minimum(jnp.take(cl_s, safe), n_c - 1) & 0xFFFF)
             last = items[jnp.maximum(n_items - 1, 0)]
             items = jnp.where(jnp.arange(max_items) < n_items, items, last)
 

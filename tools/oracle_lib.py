@@ -29,7 +29,14 @@ def _trace(bk, cs, rays, tile):
     elif bk == "pallas":
         res, ov = trace_mxu_pallas(cs, rays, tile=tile)
     else:
-        res, ov = trace_sparse(cs, rays)
+        # Exactness budgets: the oracle's mid-frame PRIMARY rays carry
+        # ~3.1 lattice pairs/ray (vs ~2.1 on production bounce pools),
+        # overflowing the default pair_budget=3 cap by ~5.5k pairs
+        # (arbitrary truncation -> ~2% wrong hits), and long camera
+        # rays need more spill restarts than the default 4. The engine
+        # is exact given budget — the agreement gate grants it:
+        # pair_budget=k_pairs makes the cap cover the whole lattice.
+        res, ov = trace_sparse(cs, rays, max_passes=16, pair_budget=4)
     return np.asarray(res.hits.tri), np.asarray(res.hits.t), int(ov)
 
 
@@ -48,9 +55,15 @@ def run_oracle(cs, sd, n_rays=65536, tile=1024, key=None):
         from rayaccel_tpu.render.tiled import block_swizzle
         _, x, y = block_swizzle(sd.viewport_width, sd.viewport_height,
                                 max(n_rays, 983040))
-        prim = generate_pixel_rays(cam, jnp.asarray(x[:n_rays], jnp.int32),
-                                   jnp.asarray(y[:n_rays], jnp.int32),
-                                   key=jax.random.fold_in(key, 0))
+        # Mid-frame lanes: the swizzle's FIRST waves cover the top of the
+        # screen, which is pure sky on battlefield-class cameras — a
+        # 0-hit ray set passes every agreement check vacuously. The
+        # middle of the frame looks at geometry.
+        base = (x.shape[0] - n_rays) // 2
+        prim = generate_pixel_rays(
+            cam, jnp.asarray(x[base:base + n_rays], jnp.int32),
+            jnp.asarray(y[base:base + n_rays], jnp.int32),
+            key=jax.random.fold_in(key, 0))
         yield "primary", prim, ("pallas", "sparse")
         # Scattered rays: the hybrid router sends these to the sparse
         # engine only (dense per-tile queue caps would truncate).
@@ -62,6 +75,17 @@ def run_oracle(cs, sd, n_rays=65536, tile=1024, key=None):
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         yield "scattered", Rays(o, d, jnp.full((n_rays,), 1e-3),
                                 jnp.full((n_rays,), 1e6)), ("sparse",)
+        # All-miss set: a dispatch with ZERO candidate pairs builds its
+        # pallas work-item list entirely from dead lanes — the exact
+        # shape that crashed with an out-of-bounds G block fetch in
+        # round 4 (see trace_sparse pair_branch clamp). Keep it
+        # exercised on hardware; interpret-mode cannot catch OOB block
+        # reads.
+        up = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+                      (n_rays, 1))
+        o_sky = up * (hi[None, :] + 10.0)
+        yield "sky", Rays(o_sky, up, jnp.full((n_rays,), 1e-3),
+                          jnp.full((n_rays,), 1e6)), ("pallas", "sparse")
 
     rows = []
     for name, rays, engines in ray_sets():
