@@ -56,20 +56,32 @@ def test_viewer_camera_input_resets_accumulation(viewer):
     origin_before = viewer.renderer.camera.origin.copy()
     spp_before = viewer.renderer.spp
     assert spp_before >= 1
-    _get("/input?key=w")
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        if not np.allclose(viewer.renderer.camera.origin, origin_before):
-            break
-        time.sleep(0.1)
-    assert not np.allclose(viewer.renderer.camera.origin, origin_before)
-    # Accumulation restarted from 0 after the move (spp dropped).
-    deadline = time.time() + 60
-    seen = viewer.renderer.spp
-    while time.time() < deadline and seen >= spp_before:
-        seen = min(seen, viewer.renderer.spp)
-        time.sleep(0.05)
-    assert seen < spp_before
+    # Polling viewer.renderer.spp for the post-reset dip is racy: small
+    # scenes render faster than any sane sampling interval, so the dip
+    # below spp_before can pass unobserved (flaked under host load).
+    # Record the reset deterministically by wrapping clear() instead.
+    cleared = threading.Event()
+    orig_clear = viewer.renderer.clear
+
+    def record_clear():
+        cleared.set()
+        return orig_clear()
+
+    viewer.renderer.clear = record_clear
+    try:
+        _get("/input?key=w")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if not np.allclose(viewer.renderer.camera.origin,
+                               origin_before):
+                break
+            time.sleep(0.1)
+        assert not np.allclose(viewer.renderer.camera.origin,
+                               origin_before)
+        # Accumulation restarted after the move.
+        assert cleared.wait(60)
+    finally:
+        viewer.renderer.clear = orig_clear
 
     # Mouse look also moves the camera (view direction changes).
     view_before = viewer.renderer.camera.view.copy()
