@@ -156,9 +156,9 @@ class TiledRenderer:
             # specializes twice and the SECOND frame pays a full
             # recompile — ~200 s inside the timed loop on the TPU
             # tunnel (BENCH r4 rehearsal, config 5b at 0.01 Mrays/s).
-            from jax.sharding import NamedSharding, PartitionSpec as P
             fb3 = jax.device_put(
-                fb3, NamedSharding(self.context.mesh, P(None, "tiles")))
+                fb3, jax.sharding.NamedSharding(self.context.mesh,
+                                                P(None, "tiles")))
         fb3, traced, dropped = self._frame_fn(
             fb3, self._wave_x, self._wave_y, self._wave_alive, key,
             jnp.int32(self.spp), *self._extra_wave_args())
