@@ -84,6 +84,12 @@ class Configuration:
     # Sparse pair engine: spill-restart pass cap (unresolved rays beyond
     # this are counted in overflow/dropped, never silently wrong).
     sparse_max_passes: int = 4
+    # Sparse pair engine: clusters tested per RESTART pass (None =
+    # k_pairs). Restart passes run at small widths where each pallas
+    # dispatch costs ~2 ms regardless of items (tools/
+    # probe_call_floor.py), so a wider restart converges in fewer
+    # dispatches.
+    sparse_k_restart: Optional[int] = 8
     # Dense pallas kernel: clusters per grid step (K=8 measured slower).
     pallas_k_step: int = 4
     # Matmul precision for the Mosaic kernels: "highest" (fp32) or
@@ -102,6 +108,7 @@ class Configuration:
             pair_budget=self.sparse_pair_budget,
             sp_tile=self.sparse_sp_tile,
             max_passes=self.sparse_max_passes,
+            k_restart=self.sparse_k_restart,
             k_step=self.pallas_k_step,
             precision=self.precision,
         )
@@ -120,6 +127,9 @@ class Configuration:
             raise ValueError("sparse_k_pairs must be in [1, 8]")
         if self.sparse_k_first is not None and not 1 <= self.sparse_k_first <= 8:
             raise ValueError("sparse_k_first must be None or in [1, 8]")
+        if (self.sparse_k_restart is not None
+                and not 1 <= self.sparse_k_restart <= 8):
+            raise ValueError("sparse_k_restart must be None or in [1, 8]")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
 
@@ -136,6 +146,7 @@ class EngineOpts:
     pair_budget: int = 3
     sp_tile: int = 1024
     max_passes: int = 4
+    k_restart: Optional[int] = 8
     k_step: int = 4
     precision: str = "highest"
 

@@ -549,14 +549,16 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
 
 
 @partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
-                                   "precision", "interpret", "max_passes"))
+                                   "precision", "interpret", "max_passes",
+                                   "k_restart"))
 def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
                            active: jnp.ndarray | None = None,
                            k_pairs: int = 4, pair_budget: int = 3,
                            sp_tile: int = 1024,
                            precision: str = "highest",
                            interpret: bool | None = None,
-                           max_passes: int = 4):
+                           max_passes: int = 4,
+                           k_restart: int | None = None):
     """Any-hit occlusion query on the pair-centric sparse engine: True
     where some triangle blocks the ray in [tmin, tmax]. The engine that
     serves scattered rays (bounce-shade shadows) previously had no
@@ -578,11 +580,15 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     assert 1 <= k_pairs <= 8, "rank rides in 3 packed bits"
+    if k_restart is None:
+        k_restart = k_pairs
+    assert 1 <= k_restart <= 8
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     R = rays.o.shape[0]
     n_c = cs.n_clusters
     K = min(k_pairs, n_c)
+    K_r = min(k_restart, n_c)
     SP = sp_tile
     n_cp = -(-n_c // 128) * 128
     id_bits = max((n_cp - 1).bit_length(), 1)
@@ -633,7 +639,7 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
             cs, tuple(o_s[:, a] for a in range(3)),
             tuple(d_s[:, a] for a in range(3)),
             tuple(inv_s[:, a] for a in range(3)),
-            tlo_s, tmax_s, K, SP, K, prec, interpret,
+            tlo_s, tmax_s, K_r, SP, K_r, prec, interpret,
             prev_packed=prev_s)
 
         occ_s = (bp < _MISS_BITS) | jnp.take(st["occluded"], idx)
@@ -671,7 +677,7 @@ def trace_occlusion_sparse(cs: ClusterScene, rays: Rays,
 
 @partial(jax.jit, static_argnames=("k_pairs", "pair_budget", "sp_tile",
                                    "precision", "interpret", "max_passes",
-                                   "k_first"))
+                                   "k_first", "k_restart"))
 def trace_sparse(cs: ClusterScene, rays: Rays,
                  env: Environment | None = None,
                  active: jnp.ndarray | None = None,
@@ -681,7 +687,8 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
                  precision: str = "highest",
                  interpret: bool | None = None,
                  max_passes: int = 4,
-                 k_first: int | None = None):
+                 k_first: int | None = None,
+                 k_restart: int | None = None):
     """Pair-centric trace, spill-exact multipass. Returns (MxuHits,
     overflow).
 
@@ -702,6 +709,15 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     rays to the compacted restart passes, which test ``k_pairs`` more
     clusters each with the spill-word exclusion guaranteeing progress.
 
+    ``k_restart`` (default: = k_pairs) is the RESTART-WIDTH knob: each
+    restart pass tests this many clusters beyond the spill window.
+    Restart passes run at small compacted widths where each pallas
+    dispatch has a ~2 ms FIXED cost regardless of item count
+    (tools/probe_call_floor.py) — the whitted depth-8 frame paid ~35
+    restart pair-kernel calls = ~66 ms for trivial work. A wider
+    restart resolves long-tail rays in fewer passes, trading a few
+    extra (cheap) pairs for whole dispatches.
+
     Pass 1 runs at full width; restart passes run on the COMPACTED
     unresolved set at the smallest width bucket (R/16 or R/4) covering
     it (a full-width restart measured ~88ms at frame scale for <1k
@@ -714,6 +730,9 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     if k_first is None:
         k_first = k_pairs
     assert 1 <= k_first <= 8
+    if k_restart is None:
+        k_restart = k_pairs
+    assert 1 <= k_restart <= 8
     # Mosaic supports HIGHEST (fp32) and DEFAULT (one-pass bf16) only.
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
@@ -723,6 +742,7 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     col_bits = max((C - 1).bit_length(), 1)
     low_mask = (1 << (col_bits + 3)) - 1
     K = min(k_pairs, n_c)
+    K_r = min(k_restart, n_c)
     SP = sp_tile
 
     n_cp = -(-n_c // 128) * 128
@@ -791,7 +811,7 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
             cs, tuple(o_s[:, a] for a in range(3)),
             tuple(d_s[:, a] for a in range(3)),
             tuple(inv_s[:, a] for a in range(3)),
-            tlo_s, tmax_s, K, SP, K, prec, interpret,
+            tlo_s, tmax_s, K_r, SP, K_r, prec, interpret,
             prev_packed=prev_s)
 
         better = bp < best_s

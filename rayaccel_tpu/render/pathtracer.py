@@ -126,7 +126,8 @@ def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth,
             scene, rays, env=None, active=alive,
             k_pairs=opts.k_pairs, pair_budget=opts.pair_budget,
             sp_tile=opts.sp_tile, precision=opts.precision,
-            max_passes=opts.max_passes, k_first=opts.k_first)
+            max_passes=opts.max_passes, k_first=opts.k_first,
+            k_restart=opts.k_restart)
     else:
         res = trace_mxu(scene, rays, env=None, active=alive, tile=tile)
         overflow = jnp.int32(0)

@@ -129,7 +129,8 @@ def _occlusion_query(scene, srays, active, bk, tile, stack_depth,
         return trace_occlusion_sparse(
             scene, srays, active=active, k_pairs=opts.k_pairs,
             pair_budget=opts.pair_budget, sp_tile=opts.sp_tile,
-            precision=opts.precision, max_passes=opts.max_passes)
+            precision=opts.precision, max_passes=opts.max_passes,
+            k_restart=opts.k_restart)
     if bk == "mxu":
         from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
         occ = trace_occlusion_mxu(scene, srays, active=active, tile=tile)
@@ -162,7 +163,8 @@ def _whitted_trace(scene, env, rays, alive, bk, tile, stack_depth, opts):
                               sp_tile=opts.sp_tile,
                               precision=opts.precision,
                               max_passes=opts.max_passes,
-                              k_first=opts.k_first)
+                              k_first=opts.k_first,
+                              k_restart=opts.k_restart)
     else:
         res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
     surf = surface_from_attrs(res.attrs, scene.mat_params, rays, res.hits)
@@ -426,7 +428,7 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         opts: EngineOpts = EngineOpts(),
                         mesh_axis: str | None = None,
                         stage_ratio: int = 2,
-                        hot_levels: int = 4,
+                        hot_levels: int = 3,
                         bounce_scan: int | None = None):
     """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
     bounce loop (the pt_trace_frame pattern applied to the parked-stack
@@ -574,11 +576,12 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             -(-stage_widths[-1] // stage_ratio // 1024) * 1024)
 
     # Two-tier stack haul: the measured depth-8 trajectory never parks
-    # deeper than sp=3, so stack levels >= hot_levels ride each shrink
-    # only under a cond on the actual max sp — the common case hauls
-    # 15 + 10*H columns instead of 15 + 10*S (the VERDICT r3 "moving
-    # 115 columns per shrink" item), and the deep levels stay exact
-    # when a pathological scene does park that deep.
+    # deeper than sp=3 (levels 3-8 never occupied, tools/
+    # probe_whitted_traj.py), so stack levels >= hot_levels ride each
+    # shrink only under a cond on the actual max sp — the common case
+    # hauls 15 + 10*H columns instead of 15 + 10*S (the VERDICT r3
+    # "moving 115 columns per shrink" item), and the deep levels stay
+    # exact when a pathological scene does park that deep.
     H = min(hot_levels, S)
 
     def run_stage(st, width, next_width):

@@ -146,6 +146,38 @@ def test_sparse_rank_phased_exact(scenes, rng):
                                np.asarray(rp.hits.t), rtol=1e-6)
 
 
+def test_sparse_wide_restart_exact(scenes, rng):
+    """k_restart=8 (wide restart passes: fewer dispatches for the same
+    long-tail rays — each small pallas dispatch costs ~2 ms on hardware
+    regardless of items, tools/probe_call_floor.py) must produce exactly
+    the hits of the default schedule, with k_pairs=1 forcing most rays
+    through the restart path. Occlusion variant checked alongside."""
+    from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
+    sd, ts, cs = scenes
+    n = 4096
+    o = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 6, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+    full, ov_full = trace_sparse(cs, rays, sp_tile=512, k_pairs=1,
+                                 max_passes=8)
+    wide, ov_wide = trace_sparse(cs, rays, sp_tile=512, k_pairs=1,
+                                 max_passes=8, k_restart=8)
+    assert int(ov_full) == 0 and int(ov_wide) == 0
+    np.testing.assert_array_equal(np.asarray(full.hits.tri),
+                                  np.asarray(wide.hits.tri))
+    np.testing.assert_allclose(np.asarray(full.hits.t),
+                               np.asarray(wide.hits.t), rtol=1e-6)
+    occ_d, un_d = trace_occlusion_sparse(cs, rays, k_pairs=1,
+                                         sp_tile=512, max_passes=8)
+    occ_w, un_w = trace_occlusion_sparse(cs, rays, k_pairs=1,
+                                         sp_tile=512, max_passes=8,
+                                         k_restart=8)
+    assert int(un_d) == 0 and int(un_w) == 0
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_w))
+
+
 def test_sparse_pass_cap_reports_unresolved(scenes):
     """With the pass cap at 1, rays whose overlap spills past k_pairs
     cannot be proven complete and must be counted in overflow; raising
