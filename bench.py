@@ -57,19 +57,20 @@ def run_config(renderer, frames, key0=1):
     # early through the axon relay; only readbacks sync).
     s0 = renderer.render_frame(jax.random.PRNGKey(0))
     int(s0.rays_traced)
-    # Timed frames are serialized on device by the framebuffer dependency;
-    # the ray counter accumulates device-side and is read back ONCE, so
-    # the tunnel round-trip (~30 ms on remote-tunnel hosts, ~0 on a
-    # direct-attached chip) is paid per RUN, not per frame — the metric
-    # is steady-state tracing throughput, as in the reference
+    # Timed frames are serialized on device by the framebuffer dependency
+    # and the loop body does ZERO eager device ops (keys are premade, the
+    # ray counter accumulates INSIDE the jitted frame fn and is read back
+    # ONCE), so the tunnel round-trip (~30 ms on remote-tunnel hosts,
+    # ~0 on a direct-attached chip) is paid per RUN, not per frame — the
+    # metric is steady-state tracing throughput, as in the reference
     # (main.cpp:215-231 wall-clock over presented frames).
+    keys = [jax.random.PRNGKey(key0 + i) for i in range(frames)]
+    jax.block_until_ready(keys)
+    base = renderer.rays_traced_total                 # syncs the warm-up
     t0 = time.perf_counter()
-    total = None
     for i in range(frames):
-        stats = renderer.render_frame(jax.random.PRNGKey(key0 + i))
-        t = stats.rays_traced
-        total = t if total is None else total + t     # device-side add
-    rays = int(total)                                 # one value sync
+        renderer.render_frame(keys[i])
+    rays = renderer.rays_traced_total - base          # one value sync
     dt = time.perf_counter() - t0
     return rays / dt / 1e6, dt / frames * 1e3, rays
 

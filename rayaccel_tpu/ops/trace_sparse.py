@@ -853,6 +853,10 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     overflow = out["overflow"] + jnp.sum(out["unresolved"].astype(jnp.int32))
 
     # One fused row gather: id + geometry + shading attrs (clusters.py).
+    # Cost is rows x (10 + 1.4 x cols) ns — the earlier "column-free"
+    # reading came from a probe whose consumer used only [:, 0], letting
+    # XLA narrow the gather to ONE column (round-4 session-3 finding);
+    # an optimization_barrier on ``slot`` was probed and changed nothing.
     attr = jnp.take(cs.attrs, slot, axis=0)
     tri = jax.lax.bitcast_convert_type(attr[:, ATTR_TRI_ID_COL], jnp.int32)
 
