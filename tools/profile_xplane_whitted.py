@@ -83,6 +83,6 @@ for ev in evs:
     stack.append((ts, dur, name))
 tot = sum(self_t.values())
 print(f"total self {tot/1000:.1f} ms over 2 dispatches", flush=True)
-for name, us in self_t.most_common(60):
+for name, us in self_t.most_common(170):
     print(f"{us/2000:8.3f} ms/frame x{cnt[name]//2:<5d} {name[:110]}",
           flush=True)
