@@ -178,22 +178,27 @@ def main():
     headline = None
     if "2" in configs:
         # Config 2 (HEADLINE, run FIRST so it always lands): PT, 2
-        # bounces, 1 spp/frame.
-        r = pt(2)
-        m, ms, rays = run_config(r, frames)
-        headline = {
-            "metric": "pt_battlefield_mrays_per_s_per_chip",
-            "value": round(m, 2),
-            "unit": "Mrays/s",
-            "vs_baseline": round(m / NORTH_STAR_MRAYS, 4),
-            "frame_ms": round(ms, 2),
-            "frames": frames,
-            "rays": rays,
-            "dropped": r.dropped,
-            "device": str(jax.devices()[0]),
-            "knobs": knobs,
-        }
-        print(json.dumps(headline), flush=True)
+        # bounces, 1 spp/frame. Guarded like every other config — a
+        # headline failure must print an error line and let the rest of
+        # the matrix land, not kill the run with rc!=0 and zero lines.
+        def cfg2():
+            nonlocal headline
+            r = pt(2)
+            m, ms, rays = run_config(r, frames)
+            headline = {
+                "metric": "pt_battlefield_mrays_per_s_per_chip",
+                "value": round(m, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(m / NORTH_STAR_MRAYS, 4),
+                "frame_ms": round(ms, 2),
+                "frames": frames,
+                "rays": rays,
+                "dropped": r.dropped,
+                "device": str(jax.devices()[0]),
+                "knobs": knobs,
+            }
+            print(json.dumps(headline), flush=True)
+        guarded("pt_battlefield_mrays_per_s_per_chip", cfg2)
 
     if "5" in configs:
         # Config 5b: the SAME shard_map frame path on real hardware with a
