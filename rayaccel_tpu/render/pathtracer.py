@@ -333,60 +333,27 @@ def pt_trace_wave(scene, env: Environment, cam_arrays,
 
 
 def _reshard_balance(st, axis, D):
-    """Cross-chip bounce load balance (SURVEY §2d; the reference's work
-    stealing, RayAccelerator.cpp:215-244, 360-363): when per-shard live
-    counts diverge (sky shards die early, geometry shards keep bouncing),
-    stripe each shard's live-first-sorted pool round-robin over the mesh
-    and all_to_all the slices, so every shard ends within ~D lanes of the
-    mean live count. Gated on measured imbalance — the full-width state
-    move costs a frame-scale row gather, so near-balanced frames skip it.
-
-    Lane ids are GLOBAL (shard * N + local), so the radiance pieces are
-    routed home with the inverse exchange at reassembly, and the
-    lane-keyed bounce RNG (_lane_uniform) makes the image BITWISE
+    """Cross-chip bounce load balance for the PT pool: the shared striped
+    exchange (parallel.mesh.reshard_balance_cols) over the PT lane-state
+    columns. Lane ids are GLOBAL (shard * N + local), so the radiance
+    pieces are routed home with the inverse exchange at reassembly, and
+    the lane-keyed bounce RNG (_lane_uniform) makes the image BITWISE
     invariant to the re-sharding. Returns (state, resharded?)."""
-    N = st["lane"].shape[0]
-    assert N % D == 0, f"per-shard pool {N} not divisible by mesh {D}"
-    Ns = N // D
-    n_live = jnp.sum(st["alive"].astype(jnp.int32))
-    counts = jax.lax.all_gather(n_live, axis)
-    total = jnp.sum(counts)
-    # Rebalance when the worst shard exceeds the mean by >25% (+ slack
-    # so tiny pools never pay the exchange).
-    need = jnp.max(counts) * D > total + total // 4 + D * 256
-
-    def do(st):
-        iota = jnp.arange(N, dtype=jnp.int32)
-        perm = jax.lax.sort(
-            (jnp.where(st["alive"], iota, jnp.int32(0x7FFFFFFF)), iota),
-            num_keys=1)[1]
-        # Stripe: live-rank k lands at slice (k % D), offset (k // D);
-        # position j = s*Ns + t therefore takes sorted rank t*D + s.
-        src_rank = (iota % Ns) * D + iota // Ns
-        take = jnp.take(perm, src_rank)
-        r = st["rays"]
-        S = jnp.concatenate([
-            r.o, r.d, r.tmin[:, None], r.tmax[:, None], st["weight"],
-            st["miss_d"], st["miss_w"],
-            st["depth"].astype(jnp.float32)[:, None],
-            st["alive"].astype(jnp.float32)[:, None]], axis=1)
-        S = jnp.take(S, take, axis=0)
-        lane_t = jnp.take(st["lane"], take)
-        S = jax.lax.all_to_all(S, axis, split_axis=0, concat_axis=0,
-                               tiled=True)
-        lane_t = jax.lax.all_to_all(lane_t, axis, split_axis=0,
-                                    concat_axis=0, tiled=True)
-        return dict(
-            st,
-            rays=Rays(S[:, 0:3], S[:, 3:6], S[:, 6], S[:, 7]),
-            weight=S[:, 8:11], miss_d=S[:, 11:14], miss_w=S[:, 14:17],
-            depth=S[:, 17].astype(jnp.int32), alive=S[:, 18] > 0,
-            lane=lane_t)
-
-    # Both branches execute the same collectives when taken; `need` is
-    # replicated (derived from the all_gather), so every shard picks the
-    # same branch.
-    st = jax.lax.cond(need, do, lambda s: s, st)
+    from rayaccel_tpu.parallel.mesh import reshard_balance_cols
+    r = st["rays"]
+    S = jnp.concatenate([
+        r.o, r.d, r.tmin[:, None], r.tmax[:, None], st["weight"],
+        st["miss_d"], st["miss_w"],
+        st["depth"].astype(jnp.float32)[:, None],
+        st["alive"].astype(jnp.float32)[:, None]], axis=1)
+    S, lane, need = reshard_balance_cols(S, st["lane"], st["alive"],
+                                         axis, D)
+    st = dict(
+        st,
+        rays=Rays(S[:, 0:3], S[:, 3:6], S[:, 6], S[:, 7]),
+        weight=S[:, 8:11], miss_d=S[:, 11:14], miss_w=S[:, 14:17],
+        depth=S[:, 17].astype(jnp.int32), alive=S[:, 18] > 0,
+        lane=lane)
     return st, need
 
 
@@ -675,20 +642,13 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     radiance = allp[:, 4:7] * env_rgb
     lane_f = allp[:, 0]
     if do_reshard:
-        # Route exchanged lanes home: after a global-lane sort, the rows
-        # from home shard i are exactly the Ns-row slice i (the outbound
-        # stripe sent exactly N/D lanes to each shard, dead or alive), so
-        # one tiled all_to_all returns every lane to its producer.
-        def route(rows):
-            ls, r0, r1, r2 = jax.lax.sort(
-                (rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]),
-                num_keys=1)
-            rows = jnp.stack([ls, r0, r1, r2], axis=1)
-            return jax.lax.all_to_all(rows, mesh_axis, split_axis=0,
-                                      concat_axis=0, tiled=True)
-
+        # Route exchanged lanes home (parallel.mesh.route_rows_home: the
+        # outbound stripe sent exactly N/D lanes to each shard, dead or
+        # alive, so one lane-sort + tiled all_to_all returns every lane
+        # to its producer).
+        from rayaccel_tpu.parallel.mesh import route_rows_home
         rows = jnp.concatenate([lane_f[:, None], radiance], axis=1)
-        rows = jax.lax.cond(resharded, route, lambda r: r, rows)
+        rows = route_rows_home(rows, mesh_axis, resharded)
         lane_f, radiance = rows[:, 0], rows[:, 1:4]
     if len(pieces) > 1 or do_reshard:
         _, r0, r1, r2 = jax.lax.sort(
@@ -771,13 +731,16 @@ class PathTracingRenderer(TiledRenderer):
         n_shards = mesh.devices.size if mesh is not None else 1
         reshard = cfg.reshard_bounces
 
+        min_stage_width = cfg.min_stage_width
+
         def frame_body(fb3, xs, ys, alives, key, spp, cam_arrays):
             tile = min(trace_block, xs.shape[1])
             rad, traced, dropped = pt_trace_frame(
                 scene, env, cam_arrays, xs, ys, alives, key, max_depth,
                 backend=backend, tile=tile, stack_depth=stack_depth,
                 sampler=sampler, spp_index=spp, sampler_key=sampler_key,
-                bounce_backend=bounce_backend, opts=opts,
+                bounce_backend=bounce_backend,
+                min_stage_width=min_stage_width, opts=opts,
                 mesh_axis=mesh_axis, n_shards=n_shards, reshard=reshard)
             return fb3 + rad, traced, dropped
 

@@ -416,7 +416,8 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                                    "tile", "stack_depth", "shadows",
                                    "bounce_backend", "min_stage_width",
                                    "opts", "mesh_axis", "stage_ratio",
-                                   "hot_levels", "bounce_scan"))
+                                   "hot_levels", "bounce_scan",
+                                   "n_shards", "reshard"))
 def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         xs: jnp.ndarray, ys: jnp.ndarray,
                         alives: jnp.ndarray, key: jax.Array,
@@ -429,7 +430,9 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
                         mesh_axis: str | None = None,
                         stage_ratio: int = 2,
                         hot_levels: int = 3,
-                        bounce_scan: int | None = None):
+                        bounce_scan: int | None = None,
+                        n_shards: int = 1,
+                        reshard: bool = True):
     """Frame-pooled Whitted: trace a whole frame of ray TREES with ONE
     bounce loop (the pt_trace_frame pattern applied to the parked-stack
     state). The reference analog is the frame-global loopData pool sized
@@ -448,13 +451,21 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
     """
     W, R = xs.shape
     N = W * R
-    assert N < (1 << 24), "lane ids ride a float32 reassembly sort"
+    # Global lane ids ride a float32 reassembly sort (and, with
+    # re-sharding, the route-home exchange), exact only below 2^24.
+    assert N * n_shards < (1 << 24), \
+        f"frame pool {N} x {n_shards} shards >= 2^24: lane ids lose " \
+        "precision in the float32 reassembly sort"
     S = stack_size
     if mesh_axis is not None:
         # Per-shard jitter decorrelation (the frame fn passes the raw
         # frame key; Whitted shading is deterministic, so only the
         # primary camera jitter consumes randomness).
-        key = jax.random.fold_in(key, jax.lax.axis_index(mesh_axis))
+        shard = jax.lax.axis_index(mesh_axis)
+        key = jax.random.fold_in(key, shard)
+        lane0 = jnp.arange(N, dtype=jnp.int32) + shard * N
+    else:
+        lane0 = jnp.arange(N, dtype=jnp.int32)
 
     def trace_and_surface(rays, alive, bk, scan_wave=None):
         # The dense engines are wave-sized (65k best; superlinear wall
@@ -534,19 +545,51 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         return a.reshape((N,) + a.shape[2:])
 
     # ---- stage 2: one frame-level bounce loop over the pooled trees ----
+    o_f, d_f, w_f = flat(o_s), flat(d_s), flat(w_s)
+    dep_f, al_f, sp_f, rad_f = (flat(dep_s), flat(al_s), flat(sp_s),
+                                flat(rad_s))
+    stk0 = stk0_s.transpose(1, 0, 2).reshape(7, N)
+    stkw0 = stkw0_s.transpose(1, 0, 2).reshape(3, N)
+    lane_f = lane0
+
+    # Cross-chip tree balance (VERDICT r4: stream stealing applies to ALL
+    # integrators identically, RayAccelerator.cpp:215-244): ray TREES
+    # skew shards at least as hard as PT bounces — sky shards die after
+    # stage 1 while geometry shards keep whole trees (plus parked
+    # refractions) alive. Exchange once, before the bounce loop, when the
+    # measured imbalance pays for the move. At pool time only stack LEVEL
+    # 0 can be occupied (the single primary step pushes at most once,
+    # from sp=0), so the exchange moves 25 columns, not 15 + 10*S.
+    do_reshard = mesh_axis is not None and n_shards > 1 and reshard
+    if do_reshard:
+        from rayaccel_tpu.parallel.mesh import reshard_balance_cols
+        S_mat = jnp.concatenate([
+            o_f, d_f, w_f, rad_f,
+            dep_f.astype(jnp.float32)[:, None],
+            sp_f.astype(jnp.float32)[:, None],
+            al_f.astype(jnp.float32)[:, None],
+            stk0.T, stkw0.T], axis=1)
+        S_mat, lane_f, resharded = reshard_balance_cols(
+            S_mat, lane_f, al_f, mesh_axis, n_shards)
+        o_f, d_f, w_f, rad_f = (S_mat[:, 0:3], S_mat[:, 3:6],
+                                S_mat[:, 6:9], S_mat[:, 9:12])
+        dep_f = S_mat[:, 12].astype(jnp.int32)
+        sp_f = S_mat[:, 13].astype(jnp.int32)
+        al_f = S_mat[:, 14] > 0
+        stk0 = S_mat[:, 15:22].T
+        stkw0 = S_mat[:, 22:25].T
+
     state = dict(
-        rays=Rays(flat(o_s), flat(d_s),
+        rays=Rays(o_f, d_f,
                   jnp.full((N,), SECONDARY_TMIN, jnp.float32),
                   jnp.full((N,), SECONDARY_TMAX, jnp.float32)),
-        weight=flat(w_s), depth=flat(dep_s), alive=flat(al_s),
-        sp=flat(sp_s),
+        weight=w_f, depth=dep_f, alive=al_f,
+        sp=sp_f,
         stk=jnp.concatenate(
-            [stk0_s.transpose(1, 0, 2).reshape(1, 7, N),
-             jnp.zeros((S - 1, 7, N), jnp.float32)], axis=0),
+            [stk0[None], jnp.zeros((S - 1, 7, N), jnp.float32)], axis=0),
         stk_w=jnp.concatenate(
-            [stkw0_s.transpose(1, 0, 2).reshape(1, 3, N),
-             jnp.zeros((S - 1, 3, N), jnp.float32)], axis=0),
-        radiance=flat(rad_s), lane=jnp.arange(N, dtype=jnp.int32),
+            [stkw0[None], jnp.zeros((S - 1, 3, N), jnp.float32)], axis=0),
+        radiance=rad_f, lane=lane_f,
         traced=traced0, dropped=dropped0,
     )
 
@@ -583,6 +626,12 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
     # "moving 115 columns per shrink" item), and the deep levels stay
     # exact when a pathological scene does park that deep.
     H = min(hot_levels, S)
+
+    # Gather-free shrink pieces need only the [:N] slice of a global
+    # sort; with resharding, lanes cross shards and the route-home
+    # exchange needs exactly-N rows per shard — the gathered-piece path
+    # remains (same trade as pt_trace_frame's fast_shrink).
+    fast_shrink = not do_reshard
 
     def run_stage(st, width, next_width):
         def cond(s):
@@ -647,11 +696,19 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             stkw2 = head[:, 14 + S * 7:14 + S * 10].T.reshape(
                 S, 3, next_width)
 
-        valid = (iota_w < st["n_fresh"]) & ~st["alive"]
-        piece = jnp.concatenate([
-            jnp.where(valid, st["lane"].astype(jnp.float32),
-                      _LANE_INVALID)[:, None],
-            st["radiance"]], axis=1)
+        if fast_shrink:
+            valid = (iota_w < st["n_fresh"]) & ~st["alive"]
+            piece = jnp.concatenate([
+                jnp.where(valid, st["lane"].astype(jnp.float32),
+                          _LANE_INVALID)[:, None],
+                st["radiance"]], axis=1)
+        else:
+            # Gathered piece (reshard path): lanes cross shards, and the
+            # route-home exchange needs exactly N rows per shard, so the
+            # pieces must PARTITION the pool — the tail rows, gathered.
+            S7 = jnp.concatenate([st["lane"].astype(jnp.float32)[:, None],
+                                  st["radiance"]], axis=1)
+            piece = jnp.take(S7, perm[next_width:], axis=0)
 
         st2 = dict(
             rays=Rays(head[:, 0:3], head[:, 3:6],
@@ -675,7 +732,7 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         if piece is not None:
             pieces.append(piece)
     final_lane = st["lane"].astype(jnp.float32)
-    if len(stage_widths) > 1:
+    if fast_shrink and len(stage_widths) > 1:
         fw = stage_widths[-1]
         final_lane = jnp.where(
             jnp.arange(fw, dtype=jnp.int32) < st["n_fresh"],
@@ -685,8 +742,13 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
 
     # ---- stage 3: reassembly by lane id ----
     allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
+    if do_reshard:
+        # Route exchanged lanes home (parallel.mesh.route_rows_home); the
+        # gathered pieces partition the pool exactly (N rows per shard).
+        from rayaccel_tpu.parallel.mesh import route_rows_home
+        allp = route_rows_home(allp, mesh_axis, resharded)
     radiance = allp[:, 1:4]
-    if len(pieces) > 1:
+    if len(pieces) > 1 or do_reshard:
         _, r0, r1, r2 = jax.lax.sort(
             (allp[:, 0], radiance[:, 0], radiance[:, 1], radiance[:, 2]),
             num_keys=1)
@@ -762,7 +824,15 @@ class WhittedRenderer(TiledRenderer):
         trace_block = cfg.trace_block
         shadows = self.shadows
         opts = cfg.engine_opts()
-        mesh_axis = "tiles" if self.context.mesh is not None else None
+        mesh = self.context.mesh
+        mesh_axis = "tiles" if mesh is not None else None
+        n_shards = mesh.devices.size if mesh is not None else 1
+        reshard = cfg.reshard_bounces
+
+        min_stage_width = cfg.min_stage_width
+        stage_ratio = cfg.whitted_stage_ratio
+        hot_levels = cfg.whitted_hot_levels
+        bounce_scan = cfg.whitted_bounce_scan
 
         def frame_body(fb3, xs, ys, alives, key, spp, cam_arrays):
             del spp  # Whitted uses per-frame keys only
@@ -771,8 +841,11 @@ class WhittedRenderer(TiledRenderer):
                 scene, env, cam_arrays, xs, ys, alives, key, max_depth,
                 stack_size, backend=backend, tile=tile,
                 stack_depth=stack_depth, shadows=shadows,
-                bounce_backend=bounce_backend, opts=opts,
-                mesh_axis=mesh_axis)
+                bounce_backend=bounce_backend,
+                min_stage_width=min_stage_width, opts=opts,
+                mesh_axis=mesh_axis, stage_ratio=stage_ratio,
+                hot_levels=hot_levels, bounce_scan=bounce_scan,
+                n_shards=n_shards, reshard=reshard)
             return fb3 + rad, traced, dropped
 
         return frame_body

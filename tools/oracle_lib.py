@@ -111,3 +111,68 @@ def run_oracle(cs, sd, n_rays=65536, tile=1024, key=None):
     ok = all(r["hit_agree"] > 0.9995 and r["t_within_1e3"] > 0.9995
              for r in rows)
     return rows, ok
+
+
+def run_image_oracle(cs, sd, n_spp=2, viewport=(320, 180), max_depth=2,
+                     opts=None, key=None):
+    """Bench-scale whole-image agreement (VERDICT r4 missing #2): render
+    the same small-but-real battlefield frame with the PRODUCTION pooled
+    path (pallas primaries + sparse bounces on the cluster scene) and the
+    ``xla`` reference engine (lockstep BVH2/TrianglePair traversal on the
+    BVH scene) and report the RMSE between the accumulated HDR images.
+
+    The reference's de-facto oracle is whole images agreeing across its
+    backend flag matrix (main.cpp:289-302). Both paths here run the SAME
+    pt_trace_frame function with the SAME key: primary jitter and BSDF
+    draws are identical (stage-1 draws are positional at equal widths;
+    bounce draws are lane-keyed and placement-invariant), so the images
+    differ only where the ENGINES disagree — shared-edge tie-breaks and
+    t/u/v ulp divergence between the bilinear-MT cluster math and the
+    BVH pair math. Returns a dict with image_rmse and supporting stats.
+    """
+    import numpy as np
+
+    from rayaccel_tpu.config import EngineOpts
+    from rayaccel_tpu.render.pathtracer import pt_trace_frame
+    from rayaccel_tpu.render.tiled import block_swizzle
+    from rayaccel_tpu.scene.compile import compile_scene
+
+    key = jax.random.PRNGKey(7) if key is None else key
+    opts = EngineOpts() if opts is None else opts
+    w, h = viewport
+    sd_small = type(sd)(**{**sd.__dict__, "viewport_width": w,
+                           "viewport_height": h, "max_depth": max_depth})
+    bvh_scene = compile_scene(sd_small)
+    cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov,
+                         w, h).as_arrays()
+    perm, x, y = block_swizzle(w, h, -(-(w * h) // 1024) * 1024)
+    N = x.shape[0]
+    xs = jnp.asarray(x, jnp.int32).reshape(1, N)
+    ys = jnp.asarray(y, jnp.int32).reshape(1, N)
+    alives = jnp.asarray(perm >= 0).reshape(1, N)
+
+    from rayaccel_tpu.environment import create_environment
+    px = sd_small.env_pixels
+    env = create_environment(px, px.shape[1], px.shape[0])
+
+    def render(scene, backend, bounce_backend, tile):
+        fb = jnp.zeros((1, N, 3), jnp.float32)
+        for i in range(n_spp):
+            rad, _, _ = pt_trace_frame(
+                scene, env, cam, xs, ys, alives,
+                jax.random.fold_in(key, i), max_depth, backend=backend,
+                tile=tile, bounce_backend=bounce_backend, opts=opts)
+            fb = fb + rad
+        return np.asarray(fb[0]) / n_spp
+
+    img_prod = render(cs, "pallas", "sparse", 1024)
+    img_ref = render(bvh_scene, "xla", "xla", 1024)
+    valid = np.asarray(perm >= 0)
+    diff = (img_prod - img_ref)[valid]
+    rmse = float(np.sqrt(np.mean(diff * diff)))
+    pix_diff = np.abs(diff).max(axis=1)
+    return dict(image_rmse=round(rmse, 8),
+                max_abs=round(float(pix_diff.max()), 6),
+                frac_gt_1e3=round(float((pix_diff > 1e-3).mean()), 6),
+                n_pixels=int(valid.sum()), spp=n_spp,
+                viewport=[w, h], depth=max_depth)
