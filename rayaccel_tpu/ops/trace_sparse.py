@@ -75,7 +75,7 @@ ITEM_BUCKETS = (128, 1024, 2048)
 
 
 def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
-            precision):
+            precision, guard_tmax=True):
     """One item = (pair block, cluster): intersect the block's rays with
     the cluster, write packed (score | rank | col) for the lanes whose
     pair IS this cluster. A lane belongs to exactly one cluster, so
@@ -133,14 +133,28 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
         ts = jax.lax.bitcast_convert_type(
             jax.lax.bitcast_convert_type(t_n, jnp.int32)
             ^ (det_i & _SIGN), jnp.float32)
-        tmax = Fm[11][None, :]
-        # ad > 0 implied by the strict t-range tests (tmin >= 0).
-        valid = (sign_ok & (jnp.abs(u_n) + jnp.abs(v_n) <= ad)
-                 & (ts > ad * tmin) & (ts < ad * tmax))
-        # Exact division (unlike the dense kernel's approx reciprocal):
-        # this body is grid-tax-bound, so the extra VPU cycles are free
-        # and the only ranking noise left is the low-bit packing.
-        score = jnp.where(valid, ts / jnp.maximum(ad, 1e-37), 3e38)
+        # Decode trim (round 5; the round-3 dense-kernel trim class
+        # applied here — this body is VPU-DECODE-bound, not
+        # grid-tax-bound: ~25 ops x C x sp per item ~= 3.3us/step
+        # accounts for the measured ~3.8us/item, so every op counts).
+        # |u|+|v| <= ad equals |u+v| <= ad under sign_ok. The tmin test
+        # stays EXACT (tmin here is the restart-window boundary tlo, a
+        # multipass correctness edge — unlike the dense kernel, where
+        # tmin is only the self-hit epsilon). The reciprocal is
+        # approximate (2^-12 ranking noise under the existing 2^-13
+        # low-bit packing — the winner is refined exactly afterwards).
+        valid = sign_ok & (jnp.abs(u_n + v_n) <= ad) & (ts > ad * tmin)
+        if guard_tmax:
+            # The any-hit consumer (occlusion) defines truth by the
+            # [tmin, tmax] window, so the window test stays exact.
+            # Closest-hit drops it: pass-1 tmax is 1e6 (never binds; dead
+            # lanes have no pairs) and restart tmax only re-excludes
+            # hits beyond the current best, which the min-merge already
+            # rejects (packed ordering is monotone in score).
+            tmax = Fm[11][None, :]
+            valid = valid & (ts < ad * tmax)
+        score = jnp.where(valid, ts * pl.reciprocal(ad, approx=True),
+                          3e38)
 
         # Pack candidate column + pair rank into the score's low mantissa
         # (col_bits + 3 bits; rel. error ~2^-13 — only reorders candidates
@@ -160,8 +174,10 @@ def _kernel(items_ref, n_ref, F_ref, G_ref, out_ref, *, col_bits,
         ], axis=0)
 
 
-def _make_call(n_steps, B, sp, C, col_bits, precision, interpret):
-    kern = partial(_kernel, col_bits=col_bits, precision=precision)
+def _make_call(n_steps, B, sp, C, col_bits, precision, interpret,
+               guard_tmax=True):
+    kern = partial(_kernel, col_bits=col_bits, precision=precision,
+                   guard_tmax=guard_tmax)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_steps,),
@@ -372,7 +388,8 @@ def _nearest_k(entry, k):
 
 
 def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
-                 pair_budget, prec, interpret, prev_packed=None):
+                 pair_budget, prec, interpret, prev_packed=None,
+                 guard_tmax=True):
     """One spill-window pass at static width R = len(tlo).
 
     Fused cull+select lattice, cluster-sorted pair pipeline dispatched to
@@ -467,7 +484,8 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
         max_items = Bp + n_c
         item_buckets = [b for b in ITEM_BUCKETS if b < max_items]
         item_buckets.append(max_items)
-        calls = [_make_call(b, Bp, SP, C, col_bits, prec, interpret)
+        calls = [_make_call(b, Bp, SP, C, col_bits, prec, interpret,
+                            guard_tmax=guard_tmax)
                  for b in item_buckets]
 
         def br(cl_full, rr_full, F8_pass):
@@ -758,9 +776,18 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
                                                        -1.0)
 
     def decode_t(b):
-        """Packed best -> approximate winner t (low bits cleared, so
-        <= the true t by < 2^-13 relative)."""
-        return jax.lax.bitcast_convert_type(b & ~low_mask, jnp.float32)
+        """Packed best -> conservative UPPER bound of the winner's true t.
+
+        The packed score is t * rcp_approx(ad) (|rel err| < 2^-12) with
+        the low col_bits+3 bits cleared (-2^-13): decode can land up to
+        ~2^-12 BELOW the true t, and the multipass logic needs a bound
+        that never does (a spill window top below the true t would skip
+        a restart that could find a closer hit, or cull its cluster).
+        The 2^-11 inflation restores the one-sided invariant the exact
+        division gave; the only cost is restarts in a 2^-11-wide t band
+        that find nothing."""
+        t_lo = jax.lax.bitcast_convert_type(b & ~low_mask, jnp.float32)
+        return t_lo * jnp.float32(1.0 + 2.0 ** -11)
 
     def decode_spill(s):
         return jax.lax.bitcast_convert_type(s & spill_clear, jnp.float32)
@@ -768,7 +795,8 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     # ---- pass 1: full width, k_first nearest ----
     K1 = min(k_first, n_c)
     best, slot, spill, trunc = _sparse_pass(
-        cs, o, d, inv_d, tmin, tmax0, K1, SP, pair_budget, prec, interpret)
+        cs, o, d, inv_d, tmin, tmax0, K1, SP, pair_budget, prec, interpret,
+        guard_tmax=False)
     spill_e = decode_spill(spill)
     unresolved = ((tmax0 > 0) & (spill < _INF_PACK)
                   & (spill_e < jnp.minimum(decode_t(best), tmax0)))
@@ -812,7 +840,7 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
             tuple(d_s[:, a] for a in range(3)),
             tuple(inv_s[:, a] for a in range(3)),
             tlo_s, tmax_s, K_r, SP, K_r, prec, interpret,
-            prev_packed=prev_s)
+            prev_packed=prev_s, guard_tmax=False)
 
         better = bp < best_s
         merged = jnp.minimum(bp, best_s)
@@ -871,6 +899,12 @@ def trace_sparse(cs: ClusterScene, rays: Rays,
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(qvec * rays.d, axis=-1) * inv
     t = jnp.sum(qvec * e2, axis=-1) * inv
+
+    # The kernel runs without the tmax guard (guard_tmax=False above):
+    # re-enforce the window EXACTLY here on the refined t. The packed
+    # min picked the NEAREST valid hit, so "nearest > tmax" implies no
+    # in-window hit exists — the post-filter is exact, not approximate.
+    hit = hit & (t < rays.tmax)
 
     if env is not None:
         miss_rgb = sample_environment_onehot(env, rays.d)

@@ -103,7 +103,15 @@ class TiledRenderer:
         self.spp = 0
         self._dropped_dev = jnp.int32(0)
         self._rays_dev = jnp.int32(0)
-        self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
+        # The accumulation buffer lives in the frame fn's native
+        # (n_waves, wave_size, 3) shape with its mesh sharding pinned at
+        # CREATION — no per-frame reshape or device_put. The round-4 fix
+        # re-sharded the fb on every dispatch, which cost a full eager
+        # device_put per frame and, depending on the input sharding it
+        # produced, could make every frame a cache miss (probed round 5:
+        # mesh=(1,) at 0.037 Mrays/s = recompile-per-frame vs 9.96 with
+        # the put hoisted — the ENTIRE mesh1 tax, tools/probe_mesh1.py).
+        self._fb3 = self._make_fb()
         self._frame_fn = None  # built lazily from the subclass wave fn
         # Stacked wave inputs for the fused frame loop.
         self._wave_x = jnp.stack([w[0] for w in self._wave_inputs])
@@ -126,20 +134,39 @@ class TiledRenderer:
         return int(self._rays_dev)
 
     # -- framebuffer management (TiledRenderer.cpp:51-60) --
+    def _make_fb(self) -> jnp.ndarray:
+        fb3 = jnp.zeros((self.n_waves, self.wave_size, 3), jnp.float32)
+        if self.context.mesh is not None:
+            from jax.sharding import NamedSharding
+            fb3 = jax.device_put(
+                fb3, NamedSharding(self.context.mesh, P(None, "tiles")))
+        return fb3
+
     def clear(self):
-        self._fb = jnp.zeros((self.n_lanes, 3), jnp.float32)
+        self._fb3 = self._make_fb()
         self.spp = 0
 
     @property
     def frame_buffer(self) -> jnp.ndarray:
-        """Swizzled lane-order accumulation buffer."""
-        return self._fb
+        """Swizzled lane-order accumulation buffer (flat view)."""
+        return self._fb3.reshape(self.n_lanes, 3)
+
+    def set_frame_buffer(self, fb_flat: jnp.ndarray):
+        """Restore a flat (n_lanes, 3) buffer (checkpoint resume),
+        re-pinning the mesh sharding the frame fn expects."""
+        fb3 = jnp.asarray(fb_flat, jnp.float32).reshape(
+            self.n_waves, self.wave_size, 3)
+        if self.context.mesh is not None:
+            from jax.sharding import NamedSharding
+            fb3 = jax.device_put(
+                fb3, NamedSharding(self.context.mesh, P(None, "tiles")))
+        self._fb3 = fb3
 
     def image(self) -> np.ndarray:
         """Accumulated HDR image divided by spp (DisplayBuffer.cpp:22-74
         does the divide during present). Un-permutes the swizzled buffer."""
         spp = max(self.spp, 1)
-        fb = np.asarray(self._fb)
+        fb = np.asarray(self._fb3).reshape(self.n_lanes, 3)
         img = np.zeros((self.n_pixels, 3), np.float32)
         valid = self._perm >= 0
         img[self._perm[valid]] = fb[valid]
@@ -159,27 +186,21 @@ class TiledRenderer:
         if self._frame_fn is None:
             self._frame_fn = self._build_frame_fn()
 
-        fb3 = self._fb.reshape(self.n_waves, self.wave_size, 3)
-        if self.context.mesh is not None:
-            # Pin the framebuffer input sharding: frame 1 passes fresh
-            # zeros (unsharded) while frame 2+ passes the previous
-            # output (sharded P(None, 'tiles')); without this, jit
-            # specializes twice and the SECOND frame pays a full
-            # recompile — ~200 s inside the timed loop on the TPU
-            # tunnel (BENCH r4 rehearsal, config 5b at 0.01 Mrays/s).
-            fb3 = jax.device_put(
-                fb3, jax.sharding.NamedSharding(self.context.mesh,
-                                                P(None, "tiles")))
-        # No eager device ops in the dispatch path: spp rides as a host
-        # np scalar (uploaded with the call), the ray/drop counters
-        # accumulate INSIDE the compiled frame fn (an eager `acc + x`
-        # per frame costs a host dispatch round-trip on tunnel-attached
-        # chips — measured as part of the ~15 ms/frame in-bench gap).
-        fb3, self._rays_dev, self._dropped_dev, traced = self._frame_fn(
-            fb3, self._rays_dev, self._dropped_dev,
-            self._wave_x, self._wave_y, self._wave_alive, key,
-            np.int32(self.spp), *self._extra_wave_args())
-        self._fb = fb3.reshape(self.n_lanes, 3)
+        # No eager device ops in the dispatch path: the fb rides in the
+        # frame fn's native 3D shape with its sharding pinned at creation
+        # (the frame fn's P(None, 'tiles') output matches, so frame 2+
+        # hits the same compiled executable — round-4's per-frame
+        # device_put re-shard was the entire mesh1 tax and could turn
+        # every frame into a cache miss, tools/probe_mesh1.py); spp rides
+        # as a host np scalar (uploaded with the call), the ray/drop
+        # counters accumulate INSIDE the compiled frame fn (an eager
+        # `acc + x` per frame costs a host dispatch round-trip on
+        # tunnel-attached chips).
+        self._fb3, self._rays_dev, self._dropped_dev, traced = \
+            self._frame_fn(
+                self._fb3, self._rays_dev, self._dropped_dev,
+                self._wave_x, self._wave_y, self._wave_alive, key,
+                np.int32(self.spp), *self._extra_wave_args())
         self.spp += 1
         self.end_frame()
         return Stats(rays_traced=traced)

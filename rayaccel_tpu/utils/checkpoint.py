@@ -76,6 +76,6 @@ def load_checkpoint(path: str, renderer):
             "checkpoint scene/camera fingerprint mismatch: refusing to "
             "blend accumulation across different scenes or viewpoints")
     data = np.load(base + ".npz")
-    renderer._fb = jnp.asarray(data["fb"])
+    renderer.set_frame_buffer(jnp.asarray(data["fb"]))
     renderer.spp = int(meta["spp"])
     return jnp.asarray(data["key"]) if "key" in data else None

@@ -145,8 +145,10 @@ def run_image_oracle(cs, sd, n_spp=2, viewport=(320, 180), max_depth=2,
     bvh_scene = compile_scene(sd_small)
     cam = Camera.look_at(sd.cam_origin, sd.cam_dir, sd.cam_up, sd.cam_fov,
                          w, h).as_arrays()
-    perm, x, y = block_swizzle(w, h, -(-(w * h) // 1024) * 1024)
-    N = x.shape[0]
+    from rayaccel_tpu.render.tiled import BLOCK_H, BLOCK_W
+    n_blocks = (-(-w // BLOCK_W)) * (-(-h // BLOCK_H))
+    N = n_blocks * BLOCK_W * BLOCK_H
+    perm, x, y = block_swizzle(w, h, N)
     xs = jnp.asarray(x, jnp.int32).reshape(1, N)
     ys = jnp.asarray(y, jnp.int32).reshape(1, N)
     alives = jnp.asarray(perm >= 0).reshape(1, N)
