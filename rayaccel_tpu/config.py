@@ -92,6 +92,11 @@ class Configuration:
     sparse_k_restart: Optional[int] = 8
     # Dense pallas kernel: clusters per grid step (K=8 measured slower).
     pallas_k_step: int = 4
+    # Dense pallas kernel: per-tile work-queue clamp. Tiles overlapping
+    # more clusters drop their FARTHEST ones (counted in dropped). 64
+    # truncated grazing horizon tiles into sky (round-5 whole-image
+    # oracle); 256 covers every battlefield tile union.
+    pallas_tile_cap: int = 256
     # Matmul precision for the Mosaic kernels: "highest" (fp32) or
     # "default" (one-pass bf16 — measured SLOWER in the decode-bound
     # kernels, kept for sweeps).
@@ -128,6 +133,7 @@ class Configuration:
             max_passes=self.sparse_max_passes,
             k_restart=self.sparse_k_restart,
             k_step=self.pallas_k_step,
+            tile_cap=self.pallas_tile_cap,
             precision=self.precision,
         )
 
@@ -150,6 +156,10 @@ class Configuration:
             raise ValueError("sparse_k_restart must be None or in [1, 8]")
         if self.precision not in ("highest", "default"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if (self.pallas_tile_cap < self.pallas_k_step
+                or self.pallas_tile_cap % self.pallas_k_step != 0):
+            raise ValueError("pallas_tile_cap must be a positive multiple "
+                             "of pallas_k_step")
         if self.min_stage_width < 1024:
             raise ValueError("min_stage_width must be >= 1024")
         if self.whitted_stage_ratio < 2:
@@ -180,6 +190,7 @@ class EngineOpts:
     max_passes: int = 4
     k_restart: Optional[int] = 8
     k_step: int = 4
+    tile_cap: int = 256
     precision: str = "highest"
 
     def as_dict(self) -> dict:

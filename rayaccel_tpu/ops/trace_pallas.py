@@ -51,9 +51,20 @@ from rayaccel_tpu.types import Hits, Rays, INVALID_TRIANGLE
 
 # Queue capacity buckets, in items per tile (multiples of K_PER_STEP): the
 # wrapper dispatches to the smallest bucket that fits via lax.switch (no
-# host sync). Beyond the largest bucket, each tile's FARTHEST clusters are
-# dropped and counted.
-CAP_BUCKETS = (8, 16, 64)
+# host sync) — typical waves stay in the small buckets, so widening the
+# ladder costs them nothing. Per-tile queues are clamped to ``tile_cap``
+# (default DEFAULT_TILE_CAP); beyond it a tile's FARTHEST clusters are
+# dropped and counted. The old 64 clamp silently truncated grazing
+# primary tiles at the horizon silhouette — their winners live in FAR
+# clusters, so the whole band rendered as sky (~6% of battlefield pixels
+# at >0.1 radiance error; round-5 whole-image oracle finding). 256
+# covers every per-tile union measured on the battlefield frame; the
+# front-to-back early-out skips most of the extra items once a tile's
+# lanes have converged. Bucket capacities are TOTAL items (T x b), so
+# only the TOP bucket must cover the worst case — the ladder stays
+# short because every lax.switch branch is a compiled kernel variant.
+CAP_BUCKETS = (8, 16, 64, 256)
+DEFAULT_TILE_CAP = 256
 # Default clusters per grid step (K=8 measured 4.22 vs 3.47 ms for K=4 on
 # the trimmed kernel, docs/PERF_NOTES.md); override via the ``k_step``
 # argument / Configuration.pallas_k_step — not env vars.
@@ -165,7 +176,7 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
 
 
 def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
-                    k_step=K_PER_STEP):
+                    k_step=K_PER_STEP, tile_cap=DEFAULT_TILE_CAP):
     """Dense cull + front-to-back per-tile work queue (shared by the
     closest-hit and occlusion kernels). Returns (items, entries, n_items,
     overflow): packed ``tile<<16 | cluster`` ids, tile-major, per-tile
@@ -201,14 +212,14 @@ def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
     # order) and every tile keeps >=1 item, so every output block is
     # written. Global truncation of the flat list would silently zero out
     # trailing tiles instead.
-    counts_kept = jnp.minimum(counts_pad, CAP_BUCKETS[-1])
+    counts_kept = jnp.minimum(counts_pad, tile_cap)
     # The rank lattice must be wide enough for K-padded counts (counts_pad
     # can exceed n_c for tiny scenes).
     n_cp = -(-n_c // K) * K
     kk = jax.lax.broadcasted_iota(jnp.int32, (T, n_cp), 1)
     k_mask = kk < counts_kept[:, None]
 
-    cap_max = T * CAP_BUCKETS[-1]
+    cap_max = T * tile_cap
     total = jnp.sum(counts_kept)
     # Masked-position extraction via a 1-key sort (jnp.nonzero measured
     # ~10x slower than lax.sort for this, docs/PERF_NOTES.md).
@@ -326,13 +337,14 @@ def _make_occl_call(cap, T, tile, C, precision, interpret,
 
 
 @partial(jax.jit, static_argnames=("tile", "precision", "interpret",
-                                   "k_step"))
+                                   "k_step", "tile_cap"))
 def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
                            active: jnp.ndarray | None = None,
                            tile: int = 512,
                            precision: str = "highest",
                            interpret: bool | None = None,
-                           k_step: int = K_PER_STEP) -> jnp.ndarray:
+                           k_step: int = K_PER_STEP,
+                           tile_cap: int = DEFAULT_TILE_CAP) -> jnp.ndarray:
     """Any-hit occlusion query on the Pallas work-queue engine: True where
     some triangle blocks the ray within [tmin, tmax]. Cheaper than the
     closest-hit kernel: no winner tracking or reconstruction, and a tile
@@ -356,17 +368,19 @@ def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
     items, entries, n_items, _ = _cull_and_queue(
-        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step)
+        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step,
+        tile_cap=tile_cap)
 
     F = _ray_features(o, d)
     F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
+    buckets = [b for b in CAP_BUCKETS if b < tile_cap] + [tile_cap]
     calls = [_make_occl_call(T * b, T, tile, C, prec, interpret,
                              k_step=k_step)
-             for b in CAP_BUCKETS]
-    branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
+             for b in buckets]
+    branch = sum((n_items > T * b).astype(jnp.int32) for b in buckets[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
     return out[:, 0, :].reshape(R) > 0
 
@@ -407,13 +421,14 @@ def _make_call(cap, T, tile, C, precision, interpret, k_step=K_PER_STEP):
 
 
 @partial(jax.jit, static_argnames=("tile", "precision", "interpret",
-                                   "k_step"))
+                                   "k_step", "tile_cap"))
 def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
                      env: Environment | None = None,
                      active: jnp.ndarray | None = None, tile: int = 512,
                      precision: str = "highest",
                      interpret: bool | None = None,
-                     k_step: int = K_PER_STEP):
+                     k_step: int = K_PER_STEP,
+                     tile_cap: int = DEFAULT_TILE_CAP):
     """Pallas-kernel variant of trace_mxu. Returns (MxuHits, overflow)."""
     if interpret is None:  # Mosaic requires hardware; interpret elsewhere
         interpret = jax.default_backend() != "tpu"
@@ -435,7 +450,8 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
 
     # ---- dense cull + front-to-back per-tile work queue ----
     items, entries, n_items, overflow = _cull_and_queue(
-        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step)
+        cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step,
+        tile_cap=tile_cap)
 
     # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)
@@ -443,9 +459,10 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
+    buckets = [b for b in CAP_BUCKETS if b < tile_cap] + [tile_cap]
     calls = [_make_call(T * b, T, tile, C, prec, interpret, k_step=k_step)
-             for b in CAP_BUCKETS]
-    branch = sum((n_items > T * b).astype(jnp.int32) for b in CAP_BUCKETS[:-1])
+             for b in buckets]
+    branch = sum((n_items > T * b).astype(jnp.int32) for b in buckets[:-1])
     out = jax.lax.switch(branch, calls, items, entries, n_items, F, G3)
 
     slot = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32).reshape(R)

@@ -120,7 +120,8 @@ def _trace_and_surface(scene, rays, alive, bk, tile, stack_depth,
         res, overflow = trace_mxu_pallas(scene, rays, env=None,
                                          active=alive, tile=tile,
                                          precision=opts.precision,
-                                         k_step=opts.k_step)
+                                         k_step=opts.k_step,
+                                         tile_cap=opts.tile_cap)
     elif bk == "sparse":
         res, overflow = trace_sparse(
             scene, rays, env=None, active=alive,

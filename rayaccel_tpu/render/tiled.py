@@ -101,16 +101,19 @@ class TiledRenderer:
             ))
 
         self.spp = 0
-        self._dropped_dev = jnp.int32(0)
-        self._rays_dev = jnp.int32(0)
-        # The accumulation buffer lives in the frame fn's native
-        # (n_waves, wave_size, 3) shape with its mesh sharding pinned at
-        # CREATION — no per-frame reshape or device_put. The round-4 fix
-        # re-sharded the fb on every dispatch, which cost a full eager
-        # device_put per frame and, depending on the input sharding it
-        # produced, could make every frame a cache miss (probed round 5:
-        # mesh=(1,) at 0.037 Mrays/s = recompile-per-frame vs 9.96 with
-        # the put hoisted — the ENTIRE mesh1 tax, tools/probe_mesh1.py).
+        # EVERY loop-carried input must have its mesh sharding pinned at
+        # CREATION — the fb (P(None, 'tiles')) AND the replicated counter
+        # scalars. A carried input whose call-1 sharding (fresh
+        # uncommitted value) differs from its call-2 sharding (committed
+        # frame-fn output) makes the SECOND frame a full recompile —
+        # ~220 s inside the timed loop on the tunnel. Round 4 paid this
+        # for the fb (fixed by a per-frame device_put that then became
+        # its own per-frame eager tax); round 5 pinned the fb at
+        # creation but left the counters unpinned, which still cost the
+        # frame-1 recompile (probe_mesh1: 37 s/frame average over 6
+        # frames = one ~220 s recompile, tools/probe_mesh1.py).
+        self._dropped_dev = self._make_counter()
+        self._rays_dev = self._make_counter()
         self._fb3 = self._make_fb()
         self._frame_fn = None  # built lazily from the subclass wave fn
         # Stacked wave inputs for the fused frame loop.
@@ -141,6 +144,15 @@ class TiledRenderer:
             fb3 = jax.device_put(
                 fb3, NamedSharding(self.context.mesh, P(None, "tiles")))
         return fb3
+
+    def _make_counter(self) -> jnp.ndarray:
+        """Zero counter scalar with the frame fn's output sharding
+        (replicated over the mesh) pinned at creation — see __init__."""
+        z = jnp.int32(0)
+        if self.context.mesh is not None:
+            from jax.sharding import NamedSharding
+            z = jax.device_put(z, NamedSharding(self.context.mesh, P()))
+        return z
 
     def clear(self):
         self._fb3 = self._make_fb()

@@ -119,7 +119,8 @@ def _occlusion_query(scene, srays, active, bk, tile, stack_depth,
         from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
         occ = trace_occlusion_pallas(scene, srays, active=active, tile=tile,
                                      precision=opts.precision,
-                                     k_step=opts.k_step)
+                                     k_step=opts.k_step,
+                                     tile_cap=opts.tile_cap)
         return occ, jnp.int32(0)
     if bk == "sparse":
         # Scattered bounce-shade shadows stay on the engine built for
@@ -143,32 +144,38 @@ def _occlusion_query(scene, srays, active, bk, tile, stack_depth,
 
 def _whitted_trace(scene, env, rays, alive, bk, tile, stack_depth, opts):
     """Closest-hit trace + shading-frame build on engine ``bk`` (env
-    radiance folded at trace time per the Result union contract)."""
+    radiance folded at trace time per the Result union contract).
+    Returns (hits, surf, overflow) — the dense queue / sparse restart
+    truncation counts must reach the renderer's ``dropped`` counter,
+    never vanish (the horizon-band incident: dropped FAR clusters render
+    grazing tiles as sky, round-5 whole-image oracle)."""
     if bk == "xla":
         hits = trace_bvh(scene, rays, env=env, active=alive,
                          stack_depth=stack_depth)
         surf = interpolate_surface(scene, rays, hits,
                                    alive & (hits.tri >= 0))
-        return hits, surf
+        return hits, surf, jnp.int32(0)
     if bk == "pallas":
         from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
-        res, _ = trace_mxu_pallas(scene, rays, env=env, active=alive,
-                                  tile=tile, precision=opts.precision,
-                                  k_step=opts.k_step)
+        res, overflow = trace_mxu_pallas(scene, rays, env=env, active=alive,
+                                         tile=tile, precision=opts.precision,
+                                         k_step=opts.k_step,
+                                         tile_cap=opts.tile_cap)
     elif bk == "sparse":
         from rayaccel_tpu.ops.trace_sparse import trace_sparse
-        res, _ = trace_sparse(scene, rays, env=env, active=alive,
-                              k_pairs=opts.k_pairs,
-                              pair_budget=opts.pair_budget,
-                              sp_tile=opts.sp_tile,
-                              precision=opts.precision,
-                              max_passes=opts.max_passes,
-                              k_first=opts.k_first,
-                              k_restart=opts.k_restart)
+        res, overflow = trace_sparse(scene, rays, env=env, active=alive,
+                                     k_pairs=opts.k_pairs,
+                                     pair_budget=opts.pair_budget,
+                                     sp_tile=opts.sp_tile,
+                                     precision=opts.precision,
+                                     max_passes=opts.max_passes,
+                                     k_first=opts.k_first,
+                                     k_restart=opts.k_restart)
     else:
         res = trace_mxu(scene, rays, env=env, active=alive, tile=tile)
+        overflow = jnp.int32(0)
     surf = surface_from_attrs(res.attrs, scene.mat_params, rays, res.hits)
-    return res.hits, surf
+    return res.hits, surf, overflow
 
 
 def _whitted_step(scene, s, hits, surf, bk, tile, stack_depth, max_depth,
@@ -340,9 +347,9 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
             def branch(rays, alive):
                 sub = Rays(rays.o[:size], rays.d[:size],
                            rays.tmin[:size], rays.tmax[:size])
-                hits, surf = trace_and_surface(sub, alive[:size], bk)
+                hits, surf, ov = trace_and_surface(sub, alive[:size], bk)
                 if size == R:
-                    return hits, surf
+                    return hits, surf, ov
                 pad = R - size
 
                 def tail(xx, fill=0):
@@ -352,7 +359,7 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
                 hits = Hits(tri=tail(hits.tri, INVALID_TRIANGLE),
                             t=tail(hits.t), u=tail(hits.u), v=tail(hits.v),
                             miss_rgb=tail(hits.miss_rgb))
-                return hits, jax.tree.map(tail, surf)
+                return hits, jax.tree.map(tail, surf), ov
             return branch
 
         idx = sum((n_live > s).astype(jnp.int32) for s in sizes[:-1])
@@ -365,9 +372,10 @@ def whitted_trace_wave(scene, env: Environment, cam_arrays,
     def body(s, bk, use_prefix=False):
         rays, alive = s["rays"], s["alive"]
         if use_prefix:
-            hits, surf = traced_prefix(rays, alive, bk)
+            hits, surf, ov = traced_prefix(rays, alive, bk)
         else:
-            hits, surf = trace_and_surface(rays, alive, bk)
+            hits, surf, ov = trace_and_surface(rays, alive, bk)
+        s = dict(s, dropped=s["dropped"] + ov)
         s = _whitted_step(scene, s, hits, surf, bk, tile, stack_depth,
                           max_depth, stack_size, shadows, primary_only,
                           opts)
@@ -484,21 +492,22 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
             def resh(a):
                 return a.reshape((Wv, scan_wave) + a.shape[1:])
 
-            def step(_, inp):
+            def step(ov_acc, inp):
                 o, dvec, tmin, tmax, a = inp
-                h, s = _whitted_trace(scene, env, Rays(o, dvec, tmin,
-                                                       tmax), a, bk,
-                                      tile, stack_depth, opts)
-                return 0, (h, s)
+                h, s, ov = _whitted_trace(scene, env, Rays(o, dvec, tmin,
+                                                           tmax), a, bk,
+                                          tile, stack_depth, opts)
+                return ov_acc + ov, (h, s)
 
-            _, (hs, ss) = jax.lax.scan(
-                step, 0, (resh(rays.o), resh(rays.d), resh(rays.tmin),
-                          resh(rays.tmax), resh(alive)))
+            ov_tot, (hs, ss) = jax.lax.scan(
+                step, jnp.int32(0),
+                (resh(rays.o), resh(rays.d), resh(rays.tmin),
+                 resh(rays.tmax), resh(alive)))
 
             def unr(a):
                 return a.reshape((R_cur,) + a.shape[2:])
 
-            return jax.tree.map(unr, hs), jax.tree.map(unr, ss)
+            return jax.tree.map(unr, hs), jax.tree.map(unr, ss), ov_tot
         return _whitted_trace(scene, env, rays, alive, bk, tile,
                               stack_depth, opts)
 
@@ -519,8 +528,9 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
         )
 
         def live(st):
-            hits, surf = trace_and_surface(st["rays"], st["alive"],
-                                           backend)
+            hits, surf, ov = trace_and_surface(st["rays"], st["alive"],
+                                               backend)
+            st = dict(st, dropped=st["dropped"] + ov)
             return _whitted_step(scene, st, hits, surf, backend, tile,
                                  stack_depth, max_depth, S, shadows,
                                  False, opts)
@@ -594,9 +604,10 @@ def whitted_trace_frame(scene, env: Environment, cam_arrays,
     )
 
     def bounce_body(st):
-        hits, surf = trace_and_surface(st["rays"], st["alive"],
-                                       bounce_backend,
-                                       scan_wave=bounce_scan)
+        hits, surf, ov = trace_and_surface(st["rays"], st["alive"],
+                                           bounce_backend,
+                                           scan_wave=bounce_scan)
+        st = dict(st, dropped=st["dropped"] + ov)
         out = _whitted_step(scene, st, hits, surf, bounce_backend, tile,
                             stack_depth, max_depth, S, shadows, False,
                             opts)

@@ -175,11 +175,14 @@ def test_pallas_queue_overflow_keeps_all_tiles():
     """When a tile overlaps more clusters than the largest queue bucket,
     only that tile's FARTHEST clusters may be dropped (counted in
     overflow); other tiles keep their queues and their output blocks are
-    still written (regression: global truncation zeroed trailing tiles)."""
-    from rayaccel_tpu.ops.trace_pallas import CAP_BUCKETS, trace_mxu_pallas
+    still written (regression: global truncation zeroed trailing tiles).
+    Forces overflow via a small ``tile_cap`` override (the production
+    default 256 was raised after the round-5 horizon-band incident)."""
+    from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+    tile_cap = 64
     sd = _slab_stack_scene()
     cs = compile_clusters(sd, cluster_size=2)
-    assert cs.n_clusters > CAP_BUCKETS[-1]
+    assert cs.n_clusters > tile_cap
 
     tile = 256
     n = 2 * tile
@@ -192,7 +195,7 @@ def test_pallas_queue_overflow_keeps_all_tiles():
     d[:, 1] = -1.0
     rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
 
-    res, overflow = trace_mxu_pallas(cs, rays, tile=tile)
+    res, overflow = trace_mxu_pallas(cs, rays, tile=tile, tile_cap=tile_cap)
     assert int(overflow) > 0, "test must actually force queue overflow"
 
     tri = np.asarray(res.hits.tri)
@@ -205,6 +208,43 @@ def test_pallas_queue_overflow_keeps_all_tiles():
     ground_tris = {len(sd.indices) - 2, len(sd.indices) - 1}
     assert set(tri[tile:].tolist()) <= ground_tris
     np.testing.assert_allclose(t[tile:], 20.0, atol=1e-4)
+
+
+def test_pallas_default_cap_resolves_deep_unions():
+    """The production tile_cap must cover tiles overlapping FAR more
+    clusters than the old 64 clamp: grazing horizon tiles truncated
+    their far clusters into sky — a contiguous wrong band covering ~6%
+    of battlefield pixels (round-5 whole-image oracle incident). The
+    slab stack forces a ~160-cluster union; with the default cap the
+    dense engine must drop nothing and agree with the exact mxu engine
+    everywhere — including rays whose winner is the 161st cluster."""
+    from rayaccel_tpu.ops.trace_mxu import trace_mxu
+    from rayaccel_tpu.ops.trace_pallas import trace_mxu_pallas
+    sd = _slab_stack_scene()
+    cs = compile_clusters(sd, cluster_size=2)
+    assert cs.n_clusters > 64          # old clamp would truncate
+
+    tile = 256
+    n = 2 * tile
+    o = np.zeros((n, 3), np.float32)
+    d = np.zeros((n, 3), np.float32)
+    o[:, 0] = np.linspace(-0.9, -0.1, n)
+    o[:, 1] = 20.0
+    o[:, 2] = 0.3
+    d[:, 1] = -1.0
+    # Second tile: rays that START BELOW the whole stack and hit the
+    # far ground — the winner sits behind every slab cluster, the exact
+    # class the 64 clamp rendered as miss.
+    o[tile:, 0] += 100.0
+    rays = make_rays(jnp.asarray(o), jnp.asarray(d), tmin=0.0, tmax=1e6)
+
+    res, overflow = trace_mxu_pallas(cs, rays, tile=tile)
+    ref = trace_mxu(cs, rays, tile=tile)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(res.hits.tri),
+                                  np.asarray(ref.hits.tri))
+    np.testing.assert_allclose(np.asarray(res.hits.t),
+                               np.asarray(ref.hits.t), rtol=1e-5)
 
 
 def test_occlusion_xla_and_pallas_match_mxu(scenes, rng):

