@@ -295,11 +295,15 @@ def main():
         def cfg7():
             from tools.oracle_lib import run_image_oracle, run_oracle
             rows, ok = run_oracle(tpu_scene, scene_data, n_rays=65536)
-            # Full per-class rows ride a DETAIL line (big; would evict
-            # metric lines from the driver's 2000-char tail); the gated
-            # line stays compact.
-            print(json.dumps({"metric": "oracle_tpu_rows", "value": 1,
-                              "unit": "detail", "rows": rows}), flush=True)
+            # Full per-class rows (now ~1.6k chars with the occlusion
+            # rows) print ONLY when the gate fails — a passing run's
+            # detail line would evict the metric lines from the driver's
+            # 2000-char tail; the full table lives in docs/ORACLE_TPU.md
+            # (tools/oracle_tpu.py). The gated line stays compact.
+            if not ok:
+                print(json.dumps({"metric": "oracle_tpu_rows", "value": 0,
+                                  "unit": "detail", "rows": rows}),
+                      flush=True)
             # Bench-scale whole-image agreement (VERDICT r4 missing #2):
             # production pooled path vs the xla reference engine on a
             # small-but-real battlefield frame, identical RNG streams.
@@ -317,6 +321,7 @@ def main():
                 "metric": "oracle_tpu",
                 "value": 1 if (ok and rmse_ok) else 0,
                 "unit": "ok",
+                "rows": len(rows),
                 "min_hit_agree": min(r["hit_agree"] for r in rows),
                 "min_t_agree": min(r["t_within_1e3"] for r in rows),
                 "overflow": sum(r["overflow"] for r in rows),

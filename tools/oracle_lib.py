@@ -108,6 +108,34 @@ def run_oracle(cs, sd, n_rays=65536, tile=1024, key=None):
                              tri_agree=round(tri_agree, 6),
                              t_within_1e3=round(t_ok, 6),
                              overflow=ov, n=int(ref_tri.size)))
+        # Any-hit (shadow) kernels on the same rays, vs the exact mxu
+        # any-hit: a bool-agreement row per engine (round 5: certifies
+        # the occlusion kernel's per-lane early-out on hardware).
+        from rayaccel_tpu.ops.trace_mxu import trace_occlusion_mxu
+        from rayaccel_tpu.ops.trace_pallas import trace_occlusion_pallas
+        from rayaccel_tpu.ops.trace_sparse import trace_occlusion_sparse
+        occ_ref = np.asarray(trace_occlusion_mxu(cs, rays, tile=tile))
+        for bk in engines:
+            if bk == "pallas":
+                occ = np.asarray(
+                    trace_occlusion_pallas(cs, rays, tile=tile))
+                ov = 0
+            else:
+                # Same exactness-budget grant as the closest-hit row
+                # above: mid-frame primaries carry ~3.1 lattice pairs/
+                # ray, so the default pair_budget=3 TRUNCATES ~5.5k
+                # pairs — truncated pairs report unoccluded (the
+                # counted bright-leak direction), which read as
+                # disagreement here (hw6: 97.9% agree, 5527 counted).
+                # max_passes was measured irrelevant (4/8/16 identical).
+                occ_j, un = trace_occlusion_sparse(
+                    cs, rays, pair_budget=4, max_passes=16)
+                occ, ov = np.asarray(occ_j), int(un)
+            agree = float((occ == occ_ref).mean())
+            rows.append(dict(rays=name, engine=f"occl:{bk} vs mxu",
+                             hit_agree=round(agree, 6), tri_agree=1.0,
+                             t_within_1e3=1.0, overflow=ov,
+                             n=int(occ_ref.size)))
     ok = all(r["hit_agree"] > 0.9995 and r["t_within_1e3"] > 0.9995
              for r in rows)
     return rows, ok
