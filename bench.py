@@ -332,9 +332,9 @@ def main():
             }), flush=True)
         guarded("oracle_tpu", cfg7)
 
-    # Knobs re-print second-to-last so the driver's tail capture carries
-    # the run's self-description alongside every metric line.
-    print(knobs_line, flush=True)
+    # The knobs line prints ONCE at the start (VERDICT r4 #4: one
+    # bench_knobs line is enough) — a tail re-print would cost ~400 of
+    # the driver artifact's 2000 tail chars and evict metric lines.
     if headline is not None:
         # Re-print the headline LAST: the driver parses the final line.
         print(json.dumps(headline), flush=True)
