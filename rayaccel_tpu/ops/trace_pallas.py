@@ -99,22 +99,23 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
         # irrelevant: any real hit must beat it), slot = -1.
         z = jnp.zeros((OUT_COLS - 2, tile), jnp.float32)
         t0 = jax.lax.bitcast_convert_type(F_ref[0, 11], jnp.int32)
-        last = jax.lax.bitcast_convert_type(F_ref[0, 13], jnp.int32)
         out_ref[0] = jnp.concatenate([
             F_ref[0, 11][None, :],
             jax.lax.bitcast_convert_type(
                 jnp.full((tile,), -1, jnp.int32), jnp.float32)[None, :],
             z,
         ], axis=0)
-        worst_ref[0] = jnp.max(jnp.minimum(jnp.maximum(t0, 0), last))
+        worst_ref[0] = jnp.max(jnp.maximum(t0, 0))
 
-    # Front-to-back early-out (positive-float bits order like the floats).
-    # ``worst`` is max over lanes of min(best, LAST-RELEVANT-ENTRY): a
-    # lane whose personal cluster overlaps are all behind the queue
-    # cursor stops holding the tile back — without the per-lane bound
-    # (F row 13, computed in _cull_and_queue), MISS lanes kept best at
-    # tmax forever, so any tile containing sky lanes scanned its ENTIRE
-    # queue (the whole horizon band after the tile_cap=256 fix).
+    # Front-to-back early-out (positive-float bits order like the floats):
+    # the tile releases once the queue cursor passes the farthest lane's
+    # best hit. MISS lanes hold ``worst`` at tmax, so mixed sky/geometry
+    # tiles scan their whole queue — a per-lane LAST-RELEVANT-ENTRY bound
+    # (largest queue key among a lane's overlapped clusters) was built and
+    # certified round 5 to fix that, but its cull-side reduction cost
+    # 5.8 ms/frame at stage 1 (select_reduce_fusion, hw8 xplane) against a
+    # sub-noise kernel win on this scene's tile mix — REVERTED, kept only
+    # as the tmax-bound idea in the occlusion kernel (zero cull cost).
     useful = entries_ref[i * K] <= jnp.maximum(worst_ref[0], 0)
 
     @pl.when(live & useful)
@@ -179,8 +180,7 @@ def _kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
             jax.lax.bitcast_convert_type(best_slot, jnp.float32)[None, :],
             cur[2:],
         ], axis=0)
-        last = jax.lax.bitcast_convert_type(Fm[13], jnp.int32)
-        worst_ref[0] = jnp.max(jnp.minimum(best_i, last))
+        worst_ref[0] = jnp.max(best_i)
 
 
 def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
@@ -201,18 +201,12 @@ def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
         t0 = jnp.maximum(t0, jnp.minimum(tn, tf))
         t1 = jnp.minimum(t1, jnp.maximum(tn, tf))
     entry = jnp.where(t0 <= t1, jnp.maximum(t0, 0.0), _INF)
-    entry3 = entry.reshape(T, tile, n_c)
-    tile_entry = entry3.min(axis=1)                          # (T, N_c)
-    # Per-LANE last-relevant-entry: the largest TILE entry among the
-    # clusters THIS lane overlaps. The queue is sorted by tile entry, so
-    # once the cursor passes this bound no remaining cluster can touch
-    # the lane — the kernel's early-out takes min(best, this) per lane,
-    # letting MISS lanes (best stuck at tmax) release the tile instead
-    # of forcing a full-queue scan (rides F row 13; G rows 10-15 are
-    # zero so the matmul is untouched).
-    last_entry = jnp.max(
-        jnp.where(entry3 < _INF, tile_entry[:, None, :], 0.0),
-        axis=2).reshape(R)
+    tile_entry = entry.reshape(T, tile, n_c).min(axis=1)     # (T, N_c)
+    # (A per-lane last-relevant-entry reduction lived here in round 5 for
+    # one session: max over a lane's overlapped clusters of the tile
+    # entry, feeding a per-lane kernel early-out. It cost 5.8 ms/frame at
+    # stage 1 — hw8 xplane, select_reduce_fusion x15 — for a sub-noise
+    # kernel win, so it was reverted; see the kernel early-out note.)
     tile_entry = tile_entry.at[:, 0].min(0.0)  # force cluster 0 everywhere
 
     # ONE 2-operand sort yields sorted entries AND the order: an
@@ -265,7 +259,7 @@ def _cull_and_queue(cs: ClusterScene, o, inv_d, tmin, tmax_eff, T, tile,
     entries = jax.lax.bitcast_convert_type(
         jnp.take(sorted_entry.reshape(-1), src), jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - counts_kept, 0))
-    return items, entries, n_items, overflow, last_entry
+    return items, entries, n_items, overflow
 
 
 def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
@@ -289,14 +283,15 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
     def _init():
         out_ref[0] = jnp.zeros((OUT_COLS, tile), jnp.float32)
         t0 = jax.lax.bitcast_convert_type(F_ref[0, 11], jnp.int32)
-        last = jax.lax.bitcast_convert_type(F_ref[0, 13], jnp.int32)
-        worst_ref[0] = jnp.max(jnp.minimum(jnp.maximum(t0, 0), last))
+        worst_ref[0] = jnp.max(jnp.maximum(t0, 0))
 
-    # Per-lane early-out (mirrors the closest-hit kernel): a lane is
-    # relevant while UNOCCLUDED and its last-relevant-entry (F row 13)
-    # is ahead of the queue cursor. Without the bound, every
-    # unoccluded lane forced a FULL queue scan — shadow queries on
-    # mostly-lit scenes paid the worst case on every tile.
+    # Per-lane tmax early-out: a lane is relevant while UNOCCLUDED and
+    # its tmax (finite for shadow rays — the light distance) is ahead of
+    # the queue cursor; occluded lanes drop to bound 0. Strictly better
+    # than the previous all-occluded flag (every unoccluded lane forced
+    # a FULL queue scan) at ZERO cull-side cost — the richer per-lane
+    # last-relevant-entry bound certified mid-round-5 cost 5.8 ms/frame
+    # of cull reduction (hw8 xplane) and was reverted.
     useful = entries_ref[i * K] <= jnp.maximum(worst_ref[0], 0)
 
     @pl.when(live & useful)
@@ -325,10 +320,8 @@ def _occl_kernel(items_ref, entries_ref, n_ref, F_ref, *refs, precision,
         out_ref[0] = jnp.concatenate(
             [occ.astype(jnp.float32)[None, :],
              jnp.zeros((OUT_COLS - 1, tile), jnp.float32)], axis=0)
-        last = jax.lax.bitcast_convert_type(Fm[13], jnp.int32)
         t0 = jax.lax.bitcast_convert_type(Fm[11], jnp.int32)
-        bound = jnp.minimum(jnp.maximum(t0, 0), last)
-        worst_ref[0] = jnp.max(jnp.where(occ, 0, bound))
+        worst_ref[0] = jnp.max(jnp.where(occ, 0, jnp.maximum(t0, 0)))
 
 
 def _make_occl_call(cap, T, tile, C, precision, interpret,
@@ -398,13 +391,12 @@ def trace_occlusion_pallas(cs: ClusterScene, rays: Rays,
     tmin = rays.tmin
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
-    items, entries, n_items, _, last_entry = _cull_and_queue(
+    items, entries, n_items, _ = _cull_and_queue(
         cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step,
         tile_cap=tile_cap)
 
     F = _ray_features(o, d)
     F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
-         .at[:, 13].set(last_entry)
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 
@@ -481,15 +473,13 @@ def trace_mxu_pallas(cs: ClusterScene, rays: Rays,
     tmax_eff = rays.tmax if active is None else jnp.where(active, rays.tmax, -1.0)
 
     # ---- dense cull + front-to-back per-tile work queue ----
-    items, entries, n_items, overflow, last_entry = _cull_and_queue(
+    items, entries, n_items, overflow = _cull_and_queue(
         cs, o, inv_d, tmin, tmax_eff, T, tile, k_step=k_step,
         tile_cap=tile_cap)
 
-    # ---- ray features (tmin/tmax packed into zero-G rows 10/11; the
-    # per-lane last-relevant-entry early-out bound in zero-G row 13) ----
+    # ---- ray features (tmin/tmax packed into zero-G rows 10/11) ----
     F = _ray_features(o, d)
     F = (F.at[:, 10].set(tmin).at[:, 11].set(tmax_eff)
-         .at[:, 13].set(last_entry)
          .T.reshape(RAY_FEATURES, T, tile).transpose(1, 0, 2))
     G3 = cs.G.reshape(RAY_FEATURES, n_c, 4 * C).transpose(1, 2, 0)
 

@@ -481,7 +481,12 @@ def _sparse_pass(cs: ClusterScene, o, d, inv_d, tlo, tmax_p, K, SP,
 
     def pair_branch(mp):
         Bp = mp // SP
-        max_items = Bp + n_c
+        # Items start at run boundaries, of which there are at most mp
+        # positions — without the cap, a bucket narrower than n_c (e.g.
+        # SP=512's smallest bucket on the 828-cluster battlefield) makes
+        # bpos[:max_items] under-slice and the validity where() throws a
+        # broadcast error (round-5 sp_tile probe).
+        max_items = min(Bp + n_c, mp)
         item_buckets = [b for b in ITEM_BUCKETS if b < max_items]
         item_buckets.append(max_items)
         calls = [_make_call(b, Bp, SP, C, col_bits, prec, interpret,

@@ -639,7 +639,16 @@ def pt_trace_frame(scene, env: Environment, cam_arrays,
     # to the front and the [:N] slice drops the rest. Gathered pieces
     # (reshard path) partition the pool exactly (N rows).
     allp = jnp.concatenate(pieces, axis=0) if len(pieces) > 1 else pieces[0]
-    env_rgb = sample_environment_onehot(env, allp[:, 1:4])
+    # Row-gather cost is INDEX-ENTROPY bound (docs/PERF_NOTES.md: 8.2
+    # ns/row random vs 1.8 dead-heavy from the same table). Lanes with
+    # miss_w == 0 (hit lanes, cutoff kills, invalid piece rows) multiply
+    # the env sample by zero anyway — pin their direction to a constant
+    # so the quad-table gather's dead rows all fetch ONE row. Bitwise
+    # identical radiance: 0 * finite == 0 either way.
+    is_miss = jnp.sum(allp[:, 4:7], axis=1) > 0
+    miss_dir = jnp.where(is_miss[:, None], allp[:, 1:4],
+                         jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    env_rgb = sample_environment_onehot(env, miss_dir)
     radiance = allp[:, 4:7] * env_rgb
     lane_f = allp[:, 0]
     if do_reshard:

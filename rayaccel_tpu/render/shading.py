@@ -21,7 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rayaccel_tpu.scene.clusters import ATTR_GEOM_COL, ATTR_PACK_COLS
+from rayaccel_tpu.scene.clusters import (ATTR_GEOM_COL, ATTR_PACK_COLS,
+                                         ATTR_UV_COL)
 from rayaccel_tpu.scene.compile import TpuScene
 from rayaccel_tpu.types import Hits, Rays
 
@@ -101,9 +102,19 @@ def surface_from_attrs(attrs: jnp.ndarray, mat_table: jnp.ndarray,
     ng = jnp.cross(e1, e2)
     ng = ng * jax.lax.rsqrt(jnp.maximum(
         jnp.sum(ng * ng, axis=-1, keepdims=True), 1e-30))
-    uv = (hi[:, 5:6] * w + hi[:, 6:7] * u + hi[:, 7:8] * v)
+    # uv words ride the TAIL of the attr row (scene/clusters.py
+    # ATTR_UV_COL): no current material consumes uv, so XLA dead-codes
+    # this decode and narrows the winner row gather to the used
+    # 15-column prefix — with uv mid-row the full 18 columns were
+    # fetched at pool width every bounce (hw8 xplane, ~19 ms/frame).
+    pu = jax.lax.bitcast_convert_type(
+        attrs[:, ATTR_UV_COL:ATTR_UV_COL + 3], jnp.int32)
+    uhi = jax.lax.bitcast_convert_type(
+        pu & jnp.int32(-0x10000), jnp.float32)
+    ulo = jax.lax.bitcast_convert_type(pu << 16, jnp.float32)
+    uv = (uhi[:, 0:1] * w + uhi[:, 1:2] * u + uhi[:, 2:3] * v)
     uv = jnp.concatenate(
-        [uv, lo[:, 5:6] * w + lo[:, 6:7] * u + lo[:, 7:8] * v], axis=-1)
+        [uv, ulo[:, 0:1] * w + ulo[:, 1:2] * u + ulo[:, 2:3] * v], axis=-1)
 
     # Material parameters via tiny one-hot contraction (M is small; the
     # reference's per-instance virtual dispatch, Materials.h:15-20, is a

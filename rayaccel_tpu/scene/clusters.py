@@ -52,12 +52,19 @@ RAY_FEATURES = 16   # 10 used: d(3), o(3), d x o(3), 1; padded for the MXU
 # scene/data.py compute_face_normals), and only [v0, e1, e2] + tri id
 # stay exact f32 for the winner-reconstruction Moller-Trumbore.
 ATTR_COLS = 18
-ATTR_PACK_COLS = 8    # bf16 pairs (hi|lo): [n0x|n0y, n0z|n1x, n1y|n1z,
-                      #  n2x|n2y, n2z|mat, uv0u|uv0v, uv1u|uv1v, uv2u|uv2v]
-ATTR_TRI_ID_COL = 8   # original triangle id as raw int32 bits (f32 container)
-ATTR_GEOM_COL = 9     # [v0, e1, e2] exact geometry rides in cols 9:18 so
+ATTR_PACK_COLS = 5    # bf16 pairs (hi|lo): [n0x|n0y, n0z|n1x, n1y|n1z,
+                      #  n2x|n2y, n2z|mat]
+ATTR_TRI_ID_COL = 5   # original triangle id as raw int32 bits (f32 container)
+ATTR_GEOM_COL = 6     # [v0, e1, e2] exact geometry rides in cols 6:15 so
                       # winner reconstruction needs ONE row gather
                       # (per-lane gathers are row-count bound, ~90M rows/s)
+ATTR_UV_COL = 15      # uv bf16 pairs [uv0u|uv0v, uv1u|uv1v, uv2u|uv2v] ride
+                      # LAST: no current material consumes uv, and XLA
+                      # narrows a per-hit row gather only to a CONTIGUOUS
+                      # used prefix — with uv mid-row (round-4 layout) the
+                      # full 18 columns were fetched at pool width every
+                      # bounce (hw8 xplane: 15.4 + 3.6 ms/frame at PT
+                      # depth 2); trailing dead columns narrow for free
 
 
 def _bf16_bits(x: np.ndarray) -> np.ndarray:
@@ -78,14 +85,18 @@ def unpack_attrs_np(attrs: np.ndarray) -> dict:
                              np.float32).view(np.uint32)
     hi = (w & np.uint32(0xFFFF0000)).view(np.float32)
     lo = (w << np.uint32(16)).view(np.float32)
+    wu = np.ascontiguousarray(attrs[:, ATTR_UV_COL:ATTR_UV_COL + 3],
+                              np.float32).view(np.uint32)
+    uhi = (wu & np.uint32(0xFFFF0000)).view(np.float32)
+    ulo = (wu << np.uint32(16)).view(np.float32)
     return {
         "n0": np.stack([hi[:, 0], lo[:, 0], hi[:, 1]], -1),
         "n1": np.stack([lo[:, 1], hi[:, 2], lo[:, 2]], -1),
         "n2": np.stack([hi[:, 3], lo[:, 3], hi[:, 4]], -1),
         "mat": lo[:, 4],
-        "uv0": np.stack([hi[:, 5], lo[:, 5]], -1),
-        "uv1": np.stack([hi[:, 6], lo[:, 6]], -1),
-        "uv2": np.stack([hi[:, 7], lo[:, 7]], -1),
+        "uv0": np.stack([uhi[:, 0], ulo[:, 0]], -1),
+        "uv1": np.stack([uhi[:, 1], ulo[:, 1]], -1),
+        "uv2": np.stack([uhi[:, 2], ulo[:, 2]], -1),
     }
 
 
@@ -248,9 +259,9 @@ def compile_clusters(scene: SceneData, cluster_size: int = 128,
     A[real, 2] = _pack_pairs(n1[:, 1], n1[:, 2])
     A[real, 3] = _pack_pairs(n2[:, 0], n2[:, 1])
     A[real, 4] = _pack_pairs(n2[:, 2], mat)
-    A[real, 5] = _pack_pairs(uv0[:, 0], uv0[:, 1])
-    A[real, 6] = _pack_pairs(uv1[:, 0], uv1[:, 1])
-    A[real, 7] = _pack_pairs(uv2[:, 0], uv2[:, 1])
+    A[real, ATTR_UV_COL + 0] = _pack_pairs(uv0[:, 0], uv0[:, 1])
+    A[real, ATTR_UV_COL + 1] = _pack_pairs(uv1[:, 0], uv1[:, 1])
+    A[real, ATTR_UV_COL + 2] = _pack_pairs(uv2[:, 0], uv2[:, 1])
     # Original triangle id as raw bits (selected with integer ops by the
     # Pallas kernel; -1 bit pattern for padding slots).
     A[:, ATTR_TRI_ID_COL] = tri_id.astype(np.int32).view(np.float32)
